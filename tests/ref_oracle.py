@@ -35,7 +35,7 @@ int main(int argc, char **argv) {
   FILE *f = fopen(argv[argi+1], "rb");
   if (!f) return 2;
   fseek(f, 0, SEEK_END); long sz = ftell(f); fseek(f, 0, SEEK_SET);
-  uint8_t *in = malloc(sz + 1024);
+  uint8_t *in = calloc(1, sz + 1024);
   if (fread(in, 1, sz, f) != (size_t)sz) return 2;
   fclose(f);
   uint32_t cap = dec ? (uint32_t)atoll(argv[argi+3]) + 1024
