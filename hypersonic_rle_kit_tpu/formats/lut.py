@@ -131,11 +131,13 @@ class _LutEmitter:
             out += _U16.pack(0)
             out += _U16.pack(0)
         else:
-            copy_size = n - self.last_rle
+            # copy size uses the final scan position i, which can exceed n
+            # via the guarded OOB tail read (zeroed slack)
+            copy_size = i - self.last_rle
             out += _U16.pack(1 << self.range_bits)
             out += _U16.pack(0)
             out += _U32.pack(copy_size + RANGE_OFFSET)
-            out += mv[self.last_rle:n]
+            out += mv[self.last_rle:self.last_rle + copy_size]
 
     def finalize(self, n: int) -> bytes:
         _U32.pack_into(self.out, 0, n)

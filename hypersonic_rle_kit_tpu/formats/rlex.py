@@ -128,6 +128,9 @@ class _Emitter:
             out += _U32.pack(0)
 
     def final_literals(self, mv: bytes, copy_size: int, lit_lo: int):
+        # NB: copy_size derives from the final scan position i, which can
+        # exceed the input length via the guarded OOB tail read; the extra
+        # literal bytes come from the zeroed slack (rleX_extreme_cpu_encode.h:588)
         out = self.out
         if not self.packed:
             out += b"\x00" * self.s
@@ -278,7 +281,7 @@ def rlex_compress(data, width: int, *, byte_aligned: bool = False,
                 unbound, long_form=True)
         em.terminator()
     else:
-        em.final_literals(mv, n - last_rle, last_rle)
+        em.final_literals(mv, i - last_rle, last_rle)
 
     out = em.out
     _U32.pack_into(out, 0, n)
