@@ -16,3 +16,4 @@ from .rle8 import (  # noqa: F401
     compress_bounds,
     decompress_additional_size,
 )
+from .registry import compress, decompress  # noqa: F401

@@ -64,3 +64,32 @@ def test_rle8m_roundtrip():
         for subs in (1, 2, 7):
             comp = le.rle8m_compress(subs, data)
             assert le.rle8m_decompress(comp) == data
+
+
+SH_MMTF_CASES = [("8 Bit RLE + Huffman-esque", 110), ("8 Bit MMTF 128", 111)]
+
+
+@requires_ref
+@pytest.mark.parametrize("name,idx", SH_MMTF_CASES)
+def test_sh_mmtf_parity(name, idx):
+    from hypersonic_rle_kit_tpu.formats import registry
+    for data in CORPUS:
+        ours = registry.compress(data, name)
+        ref = ref_oracle.ref_compress(idx, data)
+        assert ours == ref, f"{name} len={len(data)}"
+        assert registry.decompress(ours, name) == data
+
+
+@requires_ref
+def test_all_120_codecs_roundtrip_and_parity():
+    """The capstone: every codec in the registry, byte-for-byte."""
+    from hypersonic_rle_kit_tpu import spec
+    from hypersonic_rle_kit_tpu.formats import registry
+    data = CORPUS[0][:40000]
+    for s in spec.REGISTRY:
+        if s.family is spec.Family.MEMCPY:
+            continue
+        ours = registry.compress(data, s)
+        ref = ref_oracle.ref_compress(s.index, data)
+        assert ours == ref, f"{s.name} parity"
+        assert registry.decompress(ours, s) == data, f"{s.name} roundtrip"
