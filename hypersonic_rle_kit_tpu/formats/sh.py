@@ -281,6 +281,9 @@ class _BitReader:
 def sh_decompress(buf) -> bytes:
     buf = bytes(buf)
     usize, csize = struct.unpack_from("<II", buf, 0)
+    # the bit header is read backward from the *claimed* compressed size
+    # (rle_sh.c:521), not from the end of the caller's buffer
+    buf = buf[:csize]
     if usize == 0:
         return b""
     # the bit header sits after the forward stream; its start is not stored,

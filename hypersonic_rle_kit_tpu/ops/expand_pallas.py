@@ -1,0 +1,160 @@
+"""Pallas TPU decode kernel: row-local run expansion.
+
+TPU reality (measured on v5e): per-element gathers/scatters cost ~11 ns
+whether issued from XLA or Mosaic, dynamic-shift rolls are slow, and cumsum
+has no TC lowering — so the decoder is formulated with only dense vector ops
+and one MXU one-hot contraction:
+
+- At prep time, commands are split at 128-byte output row boundaries and
+  literals are re-bucketed per row, left-aligned: row r of the output depends
+  only on its own <=W commands and its own <=128 literal bytes.  This mirrors
+  the reference's OpenCL decoder handing every work-group an independent
+  subsection (rle8_ocl_kernel.h:6-81), shrunk to VPU-row granularity.
+- In the kernel, each (8,128) tile evaluates its rows' command windows with
+  broadcast compares (run paint + run-prefix sum R), computes the within-row
+  literal index j - R[j], and materializes literals with a one-hot matmul on
+  the MXU (bf16 represents bytes 0..255 exactly).
+
+Worst case W = ceil(128 / min_run) + 2; rows with fewer runs are padded with
+empty runs (start == end == ROW).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROW = 128
+W = 24          # command slots per row (>= ceil(128/6)+2 for min_count 6)
+
+
+def rows_from_planar(sym, count, lit_len, lits, n_cmds, block_len):
+    """Host prep (numpy): planar block commands -> row-local fields.
+
+    Returns (row_sym, row_start, row_end, litrow), all [nb, rows, ROW]
+    (i32/i32/i32/u8); only the first W command slots per row are used.  Run
+    coordinates are within-row; empty slots have start == end == ROW.
+    """
+    nb, _cap = sym.shape
+    B = lits.shape[1]
+    rows = B // ROW
+    # fields are lane-padded to 128 slots so kernel-side slices stay aligned
+    row_sym = np.zeros((nb, rows, ROW), np.int32)
+    row_start = np.full((nb, rows, ROW), ROW, np.int32)
+    row_end = np.full((nb, rows, ROW), ROW, np.int32)
+    litrow = np.zeros((nb, rows, ROW), np.uint8)
+
+    for b in range(nb):
+        nc = int(n_cmds[b])
+        ll = lit_len[b, :nc].astype(np.int64)
+        ct = count[b, :nc].astype(np.int64)
+        spans = ll + ct
+        out_start = np.concatenate(([0], np.cumsum(spans)))[:-1]
+        run_a = out_start + ll
+        run_b = run_a + ct
+        slot = np.zeros(rows, np.int32)
+        litfill = np.zeros(rows, np.int32)
+        lp = 0
+        for c in range(nc):
+            # literal segment [out_start, run_a) -> row buckets
+            pos = int(out_start[c])
+            rem = int(ll[c])
+            while rem > 0:
+                r = pos // ROW
+                take = min(rem, (r + 1) * ROW - pos)
+                f = litfill[r]
+                litrow[b, r, f:f + take] = lits[b, lp:lp + take]
+                litfill[r] = f + take
+                lp += take
+                pos += take
+                rem -= take
+            # run segment [run_a, run_b) -> per-row commands
+            pos = int(run_a[c])
+            rb = int(run_b[c])
+            sv = int(sym[b, c])
+            while pos < rb:
+                r = pos // ROW
+                take = min(rb, (r + 1) * ROW) - pos
+                s = slot[r]
+                assert s < W, f"row {r} exceeds {W} command slots"
+                row_sym[b, r, s] = sv
+                row_start[b, r, s] = pos - r * ROW
+                row_end[b, r, s] = pos - r * ROW + take
+                slot[r] = s + 1
+                pos += take
+    return row_sym, row_start, row_end, litrow
+
+
+def decode_rows_host(row_sym, row_start, row_end, litrow) -> np.ndarray:
+    """Numpy reference of the kernel (vectorized, for CPU tests)."""
+    nb, rows, _ = row_sym.shape
+    lane = np.arange(ROW)[None, None, :, None]           # [1,1,j,1]
+    a = row_start[:, :, None, :W]                         # [b,r,1,w]
+    e = row_end[:, :, None, :W]
+    v = row_sym[:, :, None, :W]
+    m = (lane >= a) & (lane < e)
+    is_run = m.any(axis=3)
+    run_sym = (np.where(m, v, 0)).max(axis=3)
+    R = np.clip(lane - a, 0, e - a).sum(axis=3)
+    lit_idx = np.clip(np.arange(ROW)[None, None, :] - R, 0, ROW - 1)
+    lit_val = np.take_along_axis(litrow, lit_idx.astype(np.int64), axis=2)
+    return np.where(is_run, run_sym, lit_val).astype(np.uint8)
+
+
+def _decode_kernel(sym_ref, start_ref, end_ref, lit_ref, out_ref):
+    """One block: rows x ROW bytes, W commands/row, per-row literals."""
+    rows = lit_ref.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, ROW), 1)
+    oh_k = jax.lax.broadcasted_iota(jnp.int32, (8, ROW, ROW), 2)
+
+    def tile(t, _):
+        r0 = pl.multiple_of(t * 8, 8)
+        lits = lit_ref[0, pl.ds(r0, 8), :].astype(jnp.int32)
+        fs = start_ref[0, pl.ds(r0, 8), :]
+        fe = end_ref[0, pl.ds(r0, 8), :]
+        fv = sym_ref[0, pl.ds(r0, 8), :]
+        run_sym = jnp.zeros((8, ROW), jnp.int32)
+        is_run = jnp.zeros((8, ROW), jnp.bool_)
+        R = jnp.zeros((8, ROW), jnp.int32)
+        for w in range(W):
+            s_col = fs[:, w:w + 1]
+            e_col = fe[:, w:w + 1]
+            v_col = fv[:, w:w + 1]
+            m = (lane >= s_col) & (lane < e_col)
+            run_sym = jnp.where(m, v_col, run_sym)
+            is_run = is_run | m
+            R = R + jnp.clip(lane - s_col, 0, e_col - s_col)
+        lit_idx = lane - R
+        oh = (lit_idx[:, :, None] == oh_k).astype(jnp.bfloat16)  # (8,128,128)
+        # Mosaic batched matvec wants rhs shaped [B, 1, K], contracting last
+        lit_val = jax.lax.dot_general(
+            oh, lits.astype(jnp.bfloat16).reshape(8, 1, ROW),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(8, ROW).astype(jnp.int32)
+        out = jnp.where(is_run, run_sym, lit_val)
+        out_ref[0, pl.ds(r0, 8), :] = out.astype(jnp.uint8)
+        return 0
+
+    jax.lax.fori_loop(0, rows // 8, tile, 0)
+
+
+@jax.jit
+def decode_rows_device(row_sym, row_start, row_end, litrow):
+    """[nb, rows, ROW] fields + literals -> [nb, rows, ROW] bytes."""
+    nb, rows, _ = row_sym.shape
+    spec_f = pl.BlockSpec((1, rows, ROW), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_b = spec_f
+    return pl.pallas_call(
+        _decode_kernel,
+        out_shape=jax.ShapeDtypeStruct((nb, rows, ROW), jnp.uint8),
+        grid=(nb,),
+        in_specs=[spec_f, spec_f, spec_f, spec_b],
+        out_specs=spec_b,
+    )(row_sym, row_start, row_end, litrow)
