@@ -1,0 +1,228 @@
+// hypersonic-rle-kit-tpu native host runtime.
+//
+// Clean-room C++ implementations of the host-side hot paths, exposed with a
+// C ABI for ctypes (no pybind11 in this environment):
+//  - rows_from_planar: planar block commands -> row-local fields for the TPU
+//    decode kernel (ops/expand_pallas.py documents the layout);
+//  - planar_from_bytes: run detection + planar command build (the host
+//    encoder for the HRT1 container);
+//  - rle8 reference-format compress/decompress (byte grammar per
+//    formats/rle8.py; format spec derived from rle8_extreme_cpu.{c,h}).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libhsrk_host.so hsrk_host.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// planar -> row-local fields (ROW = 128 bytes, W slots padded to 128)
+// ---------------------------------------------------------------------------
+
+int rows_from_planar(
+    const uint8_t *sym, const int32_t *count, const int32_t *lit_len,
+    const uint8_t *lits, const int32_t *n_cmds,
+    int64_t nb, int64_t cap, int64_t B, int64_t W, int64_t WPAD,
+    int32_t *row_sym, int32_t *row_start, int32_t *row_end, uint8_t *litrow) {
+  const int64_t ROW = 128;
+  const int64_t rows = B / ROW;
+  // row fields are [nb, rows, WPAD]; litrow [nb, rows, 128]
+  for (int64_t b = 0; b < nb; b++) {
+    int32_t *rs = row_sym + b * rows * WPAD;
+    int32_t *ra = row_start + b * rows * WPAD;
+    int32_t *re = row_end + b * rows * WPAD;
+    uint8_t *lr = litrow + b * rows * ROW;
+    const uint8_t *sy = sym + b * cap;
+    const int32_t *ct = count + b * cap;
+    const int32_t *ll = lit_len + b * cap;
+    const uint8_t *li = lits + b * B;
+
+    for (int64_t i = 0; i < rows * WPAD; i++) {
+      ra[i] = ROW;
+      re[i] = ROW;
+    }
+    // slot + litfill per row
+    static thread_local int32_t slot[1 << 16];
+    static thread_local int32_t fill[1 << 16];
+    if (rows > (1 << 16)) return -1;
+    memset(slot, 0, rows * sizeof(int32_t));
+    memset(fill, 0, rows * sizeof(int32_t));
+
+    int64_t pos = 0, lp = 0;
+    const int32_t nc = n_cmds[b];
+    for (int32_t c = 0; c < nc; c++) {
+      int64_t rem = ll[c];
+      while (rem > 0) {
+        const int64_t r = pos / ROW;
+        const int64_t take = std::min(rem, (r + 1) * ROW - pos);
+        memcpy(lr + r * ROW + fill[r], li + lp, take);
+        fill[r] += (int32_t)take;
+        lp += take;
+        pos += take;
+        rem -= take;
+      }
+      int64_t rb = pos + ct[c];
+      const int32_t sv = sy[c];
+      while (pos < rb) {
+        const int64_t r = pos / ROW;
+        const int64_t take = std::min(rb, (r + 1) * ROW) - pos;
+        const int32_t s = slot[r];
+        if (s >= W) return -2;  // capacity overflow
+        rs[r * WPAD + s] = sv;
+        ra[r * WPAD + s] = (int32_t)(pos - r * ROW);
+        re[r * WPAD + s] = (int32_t)(pos - r * ROW + take);
+        slot[r] = s + 1;
+        pos += take;
+      }
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// bytes -> planar commands (HRT1 host encoder; emission rule count >= min)
+// ---------------------------------------------------------------------------
+
+int planar_from_bytes(
+    const uint8_t *data, int64_t n, int64_t cap, int64_t B, int32_t min_count,
+    uint8_t *sym, int32_t *count, int32_t *lit_len, uint8_t *lits,
+    int32_t *n_cmds, int32_t *n_lits) {
+  // single block of `n` bytes (n <= B); caller loops blocks
+  int64_t c = 0, nl = 0, last_end = 0;
+  int64_t i = 0;
+  while (i < n) {
+    const uint8_t v = data[i];
+    int64_t j = i + 1;
+    while (j < n && data[j] == v) j++;
+    const int64_t run = j - i;
+    if (run >= min_count) {
+      if (c >= cap - 1) return -2;
+      sym[c] = v;
+      count[c] = (int32_t)run;
+      lit_len[c] = (int32_t)(i - last_end);
+      memcpy(lits + nl, data + last_end, i - last_end);
+      nl += i - last_end;
+      last_end = j;
+      c++;
+    }
+    i = j;
+  }
+  // tail command
+  sym[c] = 0;
+  count[c] = 0;
+  lit_len[c] = (int32_t)(n - last_end);
+  memcpy(lits + nl, data + last_end, n - last_end);
+  nl += n - last_end;
+  c++;
+  *n_cmds = (int32_t)c;
+  *n_lits = (int32_t)nl;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// reference-format rle8 (plain multi), byte-exact with formats/rle8.py
+// ---------------------------------------------------------------------------
+
+static const int MULTI_MIN = 6;
+
+uint32_t hsrk_rle8_compress(const uint8_t *in, uint32_t n, uint8_t *out,
+                            uint32_t cap) {
+  if (!in || !n || !out || n > (1u << 30)) return 0;
+  uint32_t idx = 9;
+  out[8] = 0;  // mode multi
+  uint32_t last_rle = 0;
+  uint32_t i = 0;
+  bool final_rle = false;
+  while (i < n) {
+    const uint8_t v = in[i];
+    uint32_t j = i + 1;
+    while (j < n && in[j] == v) j++;
+    const uint32_t run = j - i;
+    if (run >= MULTI_MIN) {
+      const uint32_t stored = run - MULTI_MIN + 1;
+      const uint32_t rng = i - last_rle + 1;
+      out[idx++] = v;
+      if (stored <= 255) {
+        out[idx++] = (uint8_t)stored;
+      } else {
+        out[idx++] = 0;
+        memcpy(out + idx, &stored, 4);
+        idx += 4;
+      }
+      if (rng > 255) {
+        out[idx++] = 0;
+        memcpy(out + idx, &rng, 4);
+        idx += 4;
+      } else {
+        out[idx++] = (uint8_t)rng;
+      }
+      memcpy(out + idx, in + last_rle, i - last_rle);
+      idx += i - last_rle;
+      last_rle = j;
+      if (j == n) final_rle = true;
+    }
+    i = j;
+  }
+  if (final_rle) {
+    memset(out + idx, 0, 2);
+    idx += 2;
+    memset(out + idx, 0, 4);
+    idx += 4;
+    out[idx++] = 0;
+    memset(out + idx, 0, 4);
+    idx += 4;
+  } else {
+    const uint32_t copy = n - last_rle;
+    memset(out + idx, 0, 2);
+    idx += 2;
+    memset(out + idx, 0, 4);
+    idx += 4;
+    out[idx++] = 0;
+    const uint32_t r1 = copy + 1;
+    memcpy(out + idx, &r1, 4);
+    idx += 4;
+    memcpy(out + idx, in + last_rle, copy);
+    idx += copy;
+  }
+  memcpy(out, &n, 4);
+  memcpy(out + 4, &idx, 4);
+  return idx;
+}
+
+uint32_t hsrk_rle8_decompress(const uint8_t *in, uint32_t in_size,
+                              uint8_t *out, uint32_t cap) {
+  if (!in || !out || in_size < 9) return 0;
+  uint32_t usize, csize;
+  memcpy(&usize, in, 4);
+  memcpy(&csize, in + 4, 4);
+  if (in[8] != 0 || usize > cap) return 0;
+  const uint8_t *p = in + 9;
+  uint8_t *o = out;
+  for (;;) {
+    const uint8_t s = *p++;
+    uint32_t stored = *p++;
+    if (!stored) {
+      memcpy(&stored, p, 4);
+      p += 4;
+    }
+    uint32_t rng = *p++;
+    if (!rng) {
+      memcpy(&rng, p, 4);
+      p += 4;
+      if (!rng) break;
+    }
+    rng--;
+    memcpy(o, p, rng);
+    p += rng;
+    o += rng;
+    if (!stored) break;
+    const uint32_t run = stored + MULTI_MIN - 1;
+    memset(o, s, run);
+    o += run;
+  }
+  return usize;
+}
+
+}  // extern "C"

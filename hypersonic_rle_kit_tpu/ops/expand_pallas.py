@@ -30,23 +30,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROW = 128
-W = 24          # command slots per row (>= ceil(128/6)+2 for min_count 6)
+W = 24     # command slots per row (>= ceil(128/6)+2 for min_count 6)
+WPAD = 32  # stored slots per row (lane padding)
 
 
 def rows_from_planar(sym, count, lit_len, lits, n_cmds, block_len):
     """Host prep (numpy): planar block commands -> row-local fields.
 
-    Returns (row_sym, row_start, row_end, litrow), all [nb, rows, ROW]
-    (i32/i32/i32/u8); only the first W command slots per row are used.  Run
-    coordinates are within-row; empty slots have start == end == ROW.
+    Returns row fields [nb, rows, WPAD] (i32) + litrow [nb, rows, ROW]
+    (u8); only the first W command slots per row are used.  Run coordinates
+    are within-row; empty slots have start == end == ROW.
     """
     nb, _cap = sym.shape
     B = lits.shape[1]
     rows = B // ROW
-    # fields are lane-padded to 128 slots so kernel-side slices stay aligned
-    row_sym = np.zeros((nb, rows, ROW), np.int32)
-    row_start = np.full((nb, rows, ROW), ROW, np.int32)
-    row_end = np.full((nb, rows, ROW), ROW, np.int32)
+    row_sym = np.zeros((nb, rows, WPAD), np.int32)
+    row_start = np.full((nb, rows, WPAD), ROW, np.int32)
+    row_end = np.full((nb, rows, WPAD), ROW, np.int32)
     litrow = np.zeros((nb, rows, ROW), np.uint8)
 
     for b in range(nb):
@@ -146,11 +146,12 @@ def _decode_kernel(sym_ref, start_ref, end_ref, lit_ref, out_ref):
 
 @jax.jit
 def decode_rows_device(row_sym, row_start, row_end, litrow):
-    """[nb, rows, ROW] fields + literals -> [nb, rows, ROW] bytes."""
+    """[nb, rows, WPAD] fields + [nb, rows, ROW] literals -> bytes."""
     nb, rows, _ = row_sym.shape
-    spec_f = pl.BlockSpec((1, rows, ROW), lambda i: (i, 0, 0),
+    spec_f = pl.BlockSpec((1, rows, WPAD), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
-    spec_b = spec_f
+    spec_b = pl.BlockSpec((1, rows, ROW), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _decode_kernel,
         out_shape=jax.ShapeDtypeStruct((nb, rows, ROW), jnp.uint8),

@@ -1,0 +1,141 @@
+"""ctypes bindings for the C++ host runtime (csrc/hsrk_host.cpp).
+
+Built lazily with g++ into ``build/libhsrk_host.so``; every entry point has a
+numpy fallback so the package works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+
+import numpy as np
+
+_ROOT = pathlib.Path(__file__).resolve().parents[2]
+_SRC = _ROOT / "csrc" / "hsrk_host.cpp"
+_SO = _ROOT / "build" / "libhsrk_host.so"
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    _SO.parent.mkdir(exist_ok=True)
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           "-o", str(_SO), str(_SRC)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def lib():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _build():
+            return None
+    try:
+        L = ctypes.CDLL(str(_SO))
+    except OSError:
+        return None
+    i64, i32p, u8p = (ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+                      ctypes.POINTER(ctypes.c_uint8))
+    L.rows_from_planar.restype = ctypes.c_int
+    L.planar_from_bytes.restype = ctypes.c_int
+    L.hsrk_rle8_compress.restype = ctypes.c_uint32
+    L.hsrk_rle8_decompress.restype = ctypes.c_uint32
+    _lib = L
+    return _lib
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def rows_from_planar(sym, count, lit_len, lits, n_cmds, W: int = 24,
+                     wpad: int = 32):
+    """Native planar->rows prep; fields [nb, rows, wpad], literals
+    [nb, rows, 128]; None if the native lib is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    nb, cap = sym.shape
+    B = lits.shape[1]
+    rows = B // 128
+    row_sym = np.zeros((nb, rows, wpad), np.int32)
+    row_start = np.empty((nb, rows, wpad), np.int32)
+    row_end = np.empty((nb, rows, wpad), np.int32)
+    litrow = np.zeros((nb, rows, 128), np.uint8)
+    args = [np.ascontiguousarray(sym, np.uint8),
+            np.ascontiguousarray(count, np.int32),
+            np.ascontiguousarray(lit_len, np.int32),
+            np.ascontiguousarray(lits, np.uint8),
+            np.ascontiguousarray(n_cmds, np.int32)]
+    rc = L.rows_from_planar(
+        _ptr(args[0]), _ptr(args[1]), _ptr(args[2]), _ptr(args[3]),
+        _ptr(args[4]),
+        ctypes.c_int64(nb), ctypes.c_int64(cap), ctypes.c_int64(B),
+        ctypes.c_int64(W), ctypes.c_int64(wpad),
+        _ptr(row_sym), _ptr(row_start), _ptr(row_end), _ptr(litrow))
+    if rc != 0:
+        raise RuntimeError(f"rows_from_planar failed rc={rc}")
+    return row_sym, row_start, row_end, litrow
+
+
+def planar_from_bytes(x: np.ndarray, lens: np.ndarray, cap: int,
+                      min_count: int = 6):
+    """Native block encoder: [nb, B] bytes -> planar columns; None if the
+    library is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    nb, B = x.shape
+    sym = np.zeros((nb, cap), np.uint8)
+    count = np.zeros((nb, cap), np.int32)
+    lit_len = np.zeros((nb, cap), np.int32)
+    lits = np.zeros((nb, B), np.uint8)
+    n_cmds = np.zeros(nb, np.int32)
+    n_lits = np.zeros(nb, np.int32)
+    xc = np.ascontiguousarray(x, np.uint8)
+    for b in range(nb):
+        rc = L.planar_from_bytes(
+            ctypes.c_void_p(xc[b].ctypes.data), ctypes.c_int64(int(lens[b])),
+            ctypes.c_int64(cap), ctypes.c_int64(B), ctypes.c_int32(min_count),
+            _ptr(sym[b]), _ptr(count[b]), _ptr(lit_len[b]), _ptr(lits[b]),
+            ctypes.c_void_p(n_cmds[b:b + 1].ctypes.data),
+            ctypes.c_void_p(n_lits[b:b + 1].ctypes.data))
+        if rc != 0:
+            raise RuntimeError(f"planar_from_bytes rc={rc}")
+    return sym, count, lit_len, lits, n_cmds, n_lits
+
+
+def rle8_compress(data: bytes) -> bytes | None:
+    L = lib()
+    if L is None:
+        return None
+    n = len(data)
+    out = np.zeros(n + 256, np.uint8)
+    inp = np.frombuffer(data, np.uint8)
+    r = L.hsrk_rle8_compress(ctypes.c_void_p(inp.ctypes.data),
+                             ctypes.c_uint32(n), _ptr(out),
+                             ctypes.c_uint32(out.size))
+    return out[:r].tobytes() if r else b""
+
+
+def rle8_decompress(buf: bytes) -> bytes | None:
+    L = lib()
+    if L is None:
+        return None
+    usize = int.from_bytes(buf[:4], "little")
+    out = np.zeros(usize + 256, np.uint8)
+    inp = np.frombuffer(buf, np.uint8)
+    r = L.hsrk_rle8_decompress(ctypes.c_void_p(inp.ctypes.data),
+                               ctypes.c_uint32(len(buf)), _ptr(out),
+                               ctypes.c_uint32(out.size))
+    return out[:r].tobytes() if r else b""
