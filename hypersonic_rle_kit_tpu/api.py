@@ -56,8 +56,11 @@ def compress_bounds(in_size: int, block_size: int = container.DEFAULT_BLOCK_SIZE
 def compress(data, codec: str | int | spec_mod.CodecSpec = "8 Bit", *,
              block_size: int = container.DEFAULT_BLOCK_SIZE,
              backend: str = "auto") -> bytes:
-    """Compress to the HRT1 container.  ``backend``: 'device' (jit/TPU),
-    'host' (numpy golden path) or 'auto'."""
+    """Compress to the HRT1 container.
+
+    ``backend``: 'device' (jit XLA encode), 'native' (C++ host encoder),
+    'host' (numpy golden path) or 'auto' (native if available, else device).
+    """
     cspec = _resolve(codec)
     arr = _as_bytes_array(data)
     if arr.size == 0:
@@ -69,35 +72,59 @@ def compress(data, codec: str | int | spec_mod.CodecSpec = "8 Bit", *,
     min_count = _DEFAULT_MIN_COUNT
     x, lens = _to_blocks(arr, block_size)
     cap = planar.capacity_for(block_size, min_count)
-    if backend in ("auto", "device"):
+    cols = None
+    if backend in ("auto", "native"):
+        from .utils import native
+        cols = native.planar_from_bytes(x, lens, cap, min_count)
+        if cols is None and backend == "native":
+            raise RuntimeError("native runtime unavailable")
+    if cols is None and backend in ("auto", "device"):
         pb = device.encode_blocks(x, lens, capacity=cap, min_count=min_count)
         cols = [np.asarray(v) for v in
                 (pb.sym, pb.count, pb.lit_len, pb.lits, pb.n_cmds, pb.n_lits)]
-    else:
+    if cols is None:
         cols = _host_encode(x, lens, cap, block_size, min_count)
     return container.serialize_blocks(
         cspec.index, arr.size, block_size, min_count, *cols)
 
 
 def decompress(buf, *, backend: str = "auto") -> bytes:
-    """Decompress an HRT1 container."""
+    """Decompress an HRT1 container.
+
+    ``backend``: 'kernel' (Pallas row-expansion on TPU), 'device' (XLA),
+    'host' (numpy), 'auto' (kernel on TPU backends, else XLA).
+    """
     info, planar_cols = container.deserialize_to_planar(bytes(buf))
     sym, count, lit_len, lits, n_cmds, n_lits, block_len = planar_cols
     if info.uncompressed_size == 0:
         return b""
-    if backend in ("auto", "device"):
+    if backend == "auto":
+        backend = "kernel" if jax.default_backend() == "tpu" else "device"
+    if backend == "kernel":
+        from .ops import expand_pallas as ep
+        from .utils import native
+        rows = native.rows_from_planar(sym, count, lit_len, lits, n_cmds)
+        if rows is None:
+            rows = ep.rows_from_planar(sym, count, lit_len, lits, n_cmds,
+                                       block_len)
+        y = np.asarray(ep.decode_rows_device(
+            *[jnp.asarray(v) for v in rows]))
+        y = y.reshape(info.n_blocks, info.block_size)
+    elif backend == "device":
         pb = planar.PlanarBlocks(
             jnp.asarray(sym), jnp.asarray(count), jnp.asarray(lit_len),
             jnp.asarray(lits), jnp.asarray(n_cmds), jnp.asarray(n_lits),
             jnp.asarray(block_len))
         y = np.asarray(device.decode_blocks(pb))
-    else:
+    elif backend == "host":
         y = np.stack([
             np.pad(planar.host_decode_block(
                 sym[b], count[b], lit_len[b], lits[b],
                 int(n_cmds[b]), int(block_len[b])),
                 (0, info.block_size - int(block_len[b])))
             for b in range(info.n_blocks)])
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
     mask = np.arange(info.block_size)[None, :] < block_len[:, None]
     return y[mask].tobytes()
 
