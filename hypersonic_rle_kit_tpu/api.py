@@ -101,15 +101,14 @@ def decompress(buf, *, backend: str = "auto") -> bytes:
     if backend == "auto":
         backend = "kernel" if jax.default_backend() == "tpu" else "device"
     if backend == "kernel":
-        from .ops import expand_pallas as ep
+        from .ops import decode_planes as dp
         from .utils import native
-        rows = native.rows_from_planar(sym, count, lit_len, lits, n_cmds)
-        if rows is None:
-            rows = ep.rows_from_planar(sym, count, lit_len, lits, n_cmds,
-                                       block_len)
-        y = np.asarray(ep.decode_rows_device(
-            *[jnp.asarray(v) for v in rows]))
-        y = y.reshape(info.n_blocks, info.block_size)
+        planes = native.planes_from_planar(sym, count, lit_len, lits, n_cmds)
+        if planes is None:
+            planes = dp.planes_from_planar_np(sym, count, lit_len, lits,
+                                              n_cmds)
+        y = np.asarray(dp.decode_planes_device(jnp.asarray(planes[0]),
+                                               jnp.asarray(planes[1])))
     elif backend == "device":
         pb = planar.PlanarBlocks(
             jnp.asarray(sym), jnp.asarray(count), jnp.asarray(lit_len),
