@@ -101,8 +101,12 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
     cols = native.planar_from_bytes(x, lens, cap)
     log(f"host planar encode: {n / (time.perf_counter() - t0) / 1e9:.2f} GB/s")
     t0 = time.perf_counter()
-    planes = native.planes_from_planar(cols[0], cols[1], cols[2], cols[3],
-                                       cols[4])
+    delta = native.fused_delta_from_planar(cols[0], cols[1], cols[2],
+                                           cols[3], cols[4])
+    if delta is None:
+        delta = dp.fused_delta_from_planar_np(cols[0], cols[1], cols[2],
+                                              cols[3], cols[4])
+    planes = [delta]
     log(f"host planes prep: {n / (time.perf_counter() - t0) / 1e9:.2f} GB/s")
 
     blob = container.serialize_blocks(0, n, block, 6, cols[0], cols[1],
@@ -113,7 +117,7 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
 
     dev_in = [jax.device_put(jnp.asarray(v)) for v in planes]
     t0 = time.perf_counter()
-    out = dp.decode_planes_device(*dev_in)
+    out = dp.decode_fused_device(*dev_in)
     _ = np.asarray(out[0, :1])
     log(f"kernel compile+first run: {time.perf_counter() - t0:.1f}s")
 
@@ -129,7 +133,7 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
     rep = max(1, (512 << 20) // n)
     big = [jnp.concatenate([v] * rep) if rep > 1 else v for v in dev_in]
     nbig = n * rep
-    out = dp.decode_planes_device(*big)
+    out = dp.decode_fused_device(*big)
     _ = np.asarray(out[0, :1])          # compile + warm
     t0 = time.perf_counter()
     for _ in range(4):
@@ -137,12 +141,12 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
     fetch = (time.perf_counter() - t0) / 4
     log(f"fetch overhead: {fetch * 1e3:.2f} ms; working set {nbig >> 20} MiB")
 
-    chain = 4
+    chain = 16
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         for _ in range(chain):
-            out = dp.decode_planes_device(*big)
+            out = dp.decode_fused_device(*big)
         _ = np.asarray(out[0, :1])
         times.append((time.perf_counter() - t0 - fetch) / chain)
     dec_t = float(np.median(times))

@@ -138,6 +138,61 @@ int planes_from_planar(
 }
 
 // ---------------------------------------------------------------------------
+// planar -> fused delta plane (decode kernel v3, ops/decode_planes.py)
+//
+// One uint8 plane; every output byte is the strided mod-256 row prefix sum.
+// Literal byte v: +v at its position, -v at the next same-class position in
+// the row.  Run of pattern p: +p[k] at each class open, -p[k] at the close.
+// ---------------------------------------------------------------------------
+
+int fused_delta_from_planar(
+    const uint8_t *sym, const int32_t *count, const int32_t *lit_len,
+    const uint8_t *lits, const int32_t *n_cmds,
+    int64_t nb, int64_t cap, int64_t B, int64_t width, uint8_t *delta) {
+  const int64_t ROW = 128;
+  for (int64_t b = 0; b < nb; b++) {
+    const uint8_t *sy = sym + b * cap * width;  // width bytes per command
+    const int32_t *ct = count + b * cap;
+    const int32_t *ll = lit_len + b * cap;
+    const uint8_t *li = lits + b * B;
+    uint8_t *dl = delta + b * B;
+    int64_t pos = 0, lp = 0;
+    const int32_t nc = n_cmds[b];
+    for (int32_t c = 0; c < nc; c++) {
+      const int64_t l = ll[c];
+      for (int64_t t = 0; t < l; t++, pos++, lp++) {
+        const uint8_t v = li[lp];
+        dl[pos] += v;
+        const int64_t nxt = pos + width;
+        if (nxt / ROW == pos / ROW && nxt < B) dl[nxt] -= v;
+      }
+      const int64_t n = ct[c];
+      if (!n) continue;
+      const uint8_t *pat = sy + (int64_t)c * width;
+      const int64_t a = pos, e = pos + n;
+      if (e > B) return -3;
+      int64_t s = a;
+      while (s < e) {
+        const int64_t row_end = (s / ROW + 1) * ROW;
+        const int64_t se = e < row_end ? e : row_end;
+        for (int64_t k = 0; k < width; k++) {
+          const int64_t ph = ((k - (s - a)) % width + width) % width;
+          const int64_t p0 = s + ph;
+          if (p0 >= se) continue;
+          const uint8_t v = pat[k];
+          dl[p0] += v;
+          const int64_t pe = p0 + ((se - 1 - p0) / width) * width + width;
+          if (pe < row_end) dl[pe] -= v;
+        }
+        s = se;
+      }
+      pos = e;
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // bytes -> planar commands (HRT1 host encoder; emission rule count >= min)
 // ---------------------------------------------------------------------------
 

@@ -103,12 +103,12 @@ def decompress(buf, *, backend: str = "auto") -> bytes:
     if backend == "kernel":
         from .ops import decode_planes as dp
         from .utils import native
-        planes = native.planes_from_planar(sym, count, lit_len, lits, n_cmds)
-        if planes is None:
-            planes = dp.planes_from_planar_np(sym, count, lit_len, lits,
-                                              n_cmds)
-        y = np.asarray(dp.decode_planes_device(jnp.asarray(planes[0]),
-                                               jnp.asarray(planes[1])))
+        delta = native.fused_delta_from_planar(sym, count, lit_len, lits,
+                                               n_cmds)
+        if delta is None:
+            delta = dp.fused_delta_from_planar_np(sym, count, lit_len, lits,
+                                                  n_cmds)
+        y = np.asarray(dp.decode_fused_device(jnp.asarray(delta)))
     elif backend == "device":
         pb = planar.PlanarBlocks(
             jnp.asarray(sym), jnp.asarray(count), jnp.asarray(lit_len),

@@ -106,6 +106,124 @@ def decode_planes_host(delta: np.ndarray, lit: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# v3: fused single-plane decode
+#
+# Exact mod-256 cancellation lets the literal plane fold into the delta
+# plane, halving HBM traffic (1 read + 1 write per output byte) and deleting
+# the coverage select: every output byte is the strided mod-256 prefix sum of
+# one uint8 plane.  Prep emits, per run (split at rows / byte classes),
+# ``+sym`` at the open and ``-sym`` at the close, and per literal byte
+# ``+lit`` at its position and ``-lit`` at the next same-class position —
+# each prefix therefore telescopes to exactly the output byte.  Prep write
+# count stays O(compressed): two per literal byte, two per run-row-class.
+# ---------------------------------------------------------------------------
+
+def fused_delta_from_planar_np(sym, count, lit_len, lits, n_cmds,
+                               width: int = 1):
+    """Planar block columns -> fused delta plane (uint8 [nb, B])."""
+    nb, cap = count.shape
+    B = lits.shape[1]
+    delta = np.zeros((nb, B), np.uint8)
+    pat_of = (lambda b, c: sym[b, c:c + 1]) if sym.ndim == 2 else \
+        (lambda b, c: sym[b, c])
+    for b in range(nb):
+        pos = 0
+        lp = 0
+        for c in range(int(n_cmds[b])):
+            for _ in range(int(lit_len[b, c])):
+                v = int(lits[b, lp])
+                delta[b, pos] += v
+                nxt = pos + width
+                if nxt // ROW == pos // ROW and nxt < B:
+                    delta[b, nxt] -= v
+                lp += 1
+                pos += 1
+            ct = int(count[b, c])
+            if ct == 0:
+                continue
+            pat = pat_of(b, c)
+            a, e = pos, pos + ct
+            s = a
+            while s < e:
+                row_end = (s // ROW + 1) * ROW
+                se = min(e, row_end)
+                for k in range(width):
+                    p0 = s + ((k - (s - a)) % width)
+                    if p0 >= se:
+                        continue
+                    v = int(pat[k])
+                    delta[b, p0] += v
+                    pe = p0 + ((se - 1 - p0) // width) * width + width
+                    if pe < row_end:
+                        delta[b, pe] -= v
+                s = se
+            pos = e
+    return delta
+
+
+def decode_fused_host(delta: np.ndarray, width: int = 1) -> np.ndarray:
+    """Numpy model of the fused kernel (strided mod-256 row cumsum)."""
+    nb, B = delta.shape
+    d = delta.reshape(-1, ROW).astype(np.int64)
+    c = np.empty_like(d)
+    for k in range(width):
+        c[:, k::width] = np.cumsum(d[:, k::width], axis=1)
+    return (c & 0xFF).astype(np.uint8).reshape(nb, B)
+
+
+def _fused_kernel(delta_ref, tri_ref, out_ref):
+    # The strided row prefix sum is one MXU contraction with the constant
+    # "strided lower-triangular" matrix: cum[r, j] = sum_p d[r, p] * T[p, j],
+    # T[p, j] = (p <= j and (j - p) % width == 0).  u8 deltas are exact in
+    # bf16 (integers to 256) and row sums stay < 2^24, so f32 accumulation is
+    # exact; the VPU only converts in and out.
+    d = delta_ref[...].astype(jnp.int32).astype(jnp.bfloat16)
+    cum = jax.lax.dot_general(d, tri_ref[...],
+                              dimension_numbers=(((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    out_ref[...] = (cum.astype(jnp.int32) & 0xFF).astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=None)
+def _tri(width: int) -> np.ndarray:
+    p = np.arange(ROW)[:, None]
+    j = np.arange(ROW)[None, :]
+    return ((p <= j) & ((j - p) % width == 0)).astype(np.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "tile_rows", "interpret"))
+def decode_fused_device(delta: jnp.ndarray, *, width: int = 1,
+                        tile_rows: int = 2048,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Decode a fused delta plane [nb, B] -> bytes [nb, B] (B % 128 == 0)."""
+    nb, B = delta.shape
+    assert B % ROW == 0, B
+    T = nb * (B // ROW)
+    d = delta.reshape(T, ROW)
+    TR = min(tile_rows, T)
+    pad = (-T) % TR
+    if pad:
+        d = jnp.pad(d, ((0, pad), (0, 0)))
+    tri = jnp.asarray(_tri(width), jnp.bfloat16)
+    out = pl.pallas_call(
+        _fused_kernel,
+        out_shape=jax.ShapeDtypeStruct(((T + pad), ROW), jnp.uint8),
+        grid=((T + pad) // TR,),
+        in_specs=[
+            pl.BlockSpec((TR, ROW), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW, ROW), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TR, ROW), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(d, tri)
+    return out[:T].reshape(nb, B)
+
+
+# ---------------------------------------------------------------------------
 # Pallas kernel
 # ---------------------------------------------------------------------------
 

@@ -43,6 +43,64 @@ def test_planes_roundtrip_host_and_kernel():
         np.testing.assert_array_equal(yk, x)
 
 
+def test_fused_roundtrip_host_and_kernel():
+    for x, sym, cnt, ll, lits, ncm in _planar_corpus():
+        delta = dp.fused_delta_from_planar_np(sym, cnt, ll, lits, ncm)
+        y = dp.decode_fused_host(delta)
+        np.testing.assert_array_equal(y, x)
+        yk = np.asarray(dp.decode_fused_device(delta, interpret=True,
+                                               tile_rows=8))
+        np.testing.assert_array_equal(yk, x)
+        if native.lib() is not None:
+            d_c = native.fused_delta_from_planar(sym, cnt, ll, lits, ncm)
+            np.testing.assert_array_equal(d_c, delta)
+
+
+@pytest.mark.parametrize("width", [2, 3, 5, 8, 16])
+def test_fused_multiwidth(width):
+    """Fused plane with w-byte pattern runs interleaved with literals."""
+    rng = np.random.default_rng(100 + width)
+    B, cap = 1536, 64
+    sym = np.zeros((1, cap, width), np.uint8)
+    count = np.zeros((1, cap), np.int32)
+    lit_len = np.zeros((1, cap), np.int32)
+    parts, lit_parts = [], []
+    pos = c = 0
+    while pos < B - 400 and c < cap - 1:
+        ll = int(rng.integers(0, 50))
+        litb = rng.integers(0, 256, ll, np.uint8)
+        lit_parts.append(litb)
+        parts.append(litb)
+        pat = rng.integers(0, 256, width, np.uint8)
+        ct = int(rng.integers(width * 2, 300))
+        parts.append(np.tile(pat, ct // width + 1)[:ct])
+        sym[0, c], count[0, c], lit_len[0, c] = pat, ct, ll
+        pos += ll + ct
+        c += 1
+    tail = rng.integers(0, 256, 47, np.uint8)
+    lit_parts.append(tail)
+    parts.append(tail)
+    lit_len[0, c] = tail.size
+    c += 1
+    exp = np.concatenate(parts)
+    lits = np.zeros((1, B), np.uint8)
+    alll = np.concatenate(lit_parts)
+    lits[0, : alll.size] = alll
+    ncm = np.array([c], np.int32)
+
+    delta = dp.fused_delta_from_planar_np(sym, count, lit_len, lits, ncm,
+                                          width=width)
+    y = dp.decode_fused_host(delta, width=width)
+    np.testing.assert_array_equal(y[0, : exp.size], exp)
+    yk = np.asarray(dp.decode_fused_device(delta, width=width,
+                                           interpret=True, tile_rows=4))
+    np.testing.assert_array_equal(yk[0, : exp.size], exp)
+    if native.lib() is not None:
+        d_c = native.fused_delta_from_planar(sym, count, lit_len, lits, ncm,
+                                             width=width)
+        np.testing.assert_array_equal(d_c, delta)
+
+
 @needs_native
 def test_native_planes_match_golden():
     for x, sym, cnt, ll, lits, ncm in _planar_corpus():
