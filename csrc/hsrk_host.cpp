@@ -15,6 +15,60 @@
 #include <cstring>
 #include <algorithm>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
+namespace {
+
+// first j >= i with d[j] != v
+inline int64_t run_end(const uint8_t *d, int64_t i, int64_t n, uint8_t v) {
+#if defined(__AVX2__)
+  const __m256i bv = _mm256_set1_epi8((char)v);
+  while (i + 32 <= n) {
+    const __m256i x = _mm256_loadu_si256((const __m256i *)(d + i));
+    const uint32_t neq = ~(uint32_t)_mm256_movemask_epi8(
+        _mm256_cmpeq_epi8(x, bv));
+    if (neq) return i + __builtin_ctz(neq);
+    i += 32;
+  }
+#endif
+  while (i < n && d[i] == v) i++;
+  return i;
+}
+
+// first i in [i, n) where min_count equal bytes start; n if none.
+// min_count equal bytes == (min_count-1) consecutive adjacent-equal pairs.
+inline int64_t next_run_start(const uint8_t *d, int64_t i, int64_t n,
+                              int32_t min_count) {
+  const int32_t need = min_count - 1;
+#if defined(__AVX2__)
+  if (need >= 1 && need <= 27) {
+    while (i + 33 <= n) {
+      const __m256i a = _mm256_loadu_si256((const __m256i *)(d + i));
+      const __m256i b = _mm256_loadu_si256((const __m256i *)(d + i + 1));
+      uint32_t m = (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(a, b));
+      uint32_t r = m;
+      for (int32_t t = 1; t < need && r; t++) r &= m >> t;
+      // a window of (32 - need) candidate start bits is fully decided here
+      r &= (32 - need) >= 32 ? ~0u : ((1u << (32 - need)) - 1);
+      if (r) return i + __builtin_ctz(r);
+      i += 32 - need;
+    }
+  }
+#endif
+  while (i + min_count <= n) {
+    const uint8_t v = d[i];
+    int32_t k = 1;
+    while (k < min_count && d[i + k] == v) k++;
+    if (k == min_count) return i;
+    i += k;  // d[i+k-1] != d[i+k-...]: no run of v starts before i+k? safe: advance by 1
+  }
+  return n;
+}
+
+}  // namespace
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -204,20 +258,18 @@ int planar_from_bytes(
   int64_t c = 0, nl = 0, last_end = 0;
   int64_t i = 0;
   while (i < n) {
+    i = next_run_start(data, i, n, min_count);   // SIMD literal skip
+    if (i >= n) break;
     const uint8_t v = data[i];
-    int64_t j = i + 1;
-    while (j < n && data[j] == v) j++;
-    const int64_t run = j - i;
-    if (run >= min_count) {
-      if (c >= cap - 1) return -2;
-      sym[c] = v;
-      count[c] = (int32_t)run;
-      lit_len[c] = (int32_t)(i - last_end);
-      memcpy(lits + nl, data + last_end, i - last_end);
-      nl += i - last_end;
-      last_end = j;
-      c++;
-    }
+    const int64_t j = run_end(data, i + min_count, n, v);
+    if (c >= cap - 1) return -2;
+    sym[c] = v;
+    count[c] = (int32_t)(j - i);
+    lit_len[c] = (int32_t)(i - last_end);
+    memcpy(lits + nl, data + last_end, i - last_end);
+    nl += i - last_end;
+    last_end = j;
+    c++;
     i = j;
   }
   // tail command
@@ -229,6 +281,22 @@ int planar_from_bytes(
   c++;
   *n_cmds = (int32_t)c;
   *n_lits = (int32_t)nl;
+  return 0;
+}
+
+// batch form: all blocks in one call (ctypes call overhead is ~us/block)
+int planar_from_bytes_batch(
+    const uint8_t *data, const int32_t *lens, int64_t nb, int64_t cap,
+    int64_t B, int32_t min_count,
+    uint8_t *sym, int32_t *count, int32_t *lit_len, uint8_t *lits,
+    int32_t *n_cmds, int32_t *n_lits) {
+  for (int64_t b = 0; b < nb; b++) {
+    const int rc = planar_from_bytes(
+        data + b * B, lens[b], cap, B, min_count, sym + b * cap,
+        count + b * cap, lit_len + b * cap, lits + b * B, n_cmds + b,
+        n_lits + b);
+    if (rc) return rc;
+  }
   return 0;
 }
 

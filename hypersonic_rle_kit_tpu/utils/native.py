@@ -48,6 +48,7 @@ def lib():
                       ctypes.POINTER(ctypes.c_uint8))
     L.rows_from_planar.restype = ctypes.c_int
     L.planar_from_bytes.restype = ctypes.c_int
+    L.planar_from_bytes_batch.restype = ctypes.c_int
     L.planes_from_planar.restype = ctypes.c_int
     L.fused_delta_from_planar.restype = ctypes.c_int
     L.hsrk_rle8_compress.restype = ctypes.c_uint32
@@ -156,15 +157,14 @@ def planar_from_bytes(x: np.ndarray, lens: np.ndarray, cap: int,
     n_cmds = np.zeros(nb, np.int32)
     n_lits = np.zeros(nb, np.int32)
     xc = np.ascontiguousarray(x, np.uint8)
-    for b in range(nb):
-        rc = L.planar_from_bytes(
-            ctypes.c_void_p(xc[b].ctypes.data), ctypes.c_int64(int(lens[b])),
-            ctypes.c_int64(cap), ctypes.c_int64(B), ctypes.c_int32(min_count),
-            _ptr(sym[b]), _ptr(count[b]), _ptr(lit_len[b]), _ptr(lits[b]),
-            ctypes.c_void_p(n_cmds[b:b + 1].ctypes.data),
-            ctypes.c_void_p(n_lits[b:b + 1].ctypes.data))
-        if rc != 0:
-            raise RuntimeError(f"planar_from_bytes rc={rc}")
+    lc = np.ascontiguousarray(lens, np.int32)
+    rc = L.planar_from_bytes_batch(
+        _ptr(xc), _ptr(lc), ctypes.c_int64(nb), ctypes.c_int64(cap),
+        ctypes.c_int64(B), ctypes.c_int32(min_count),
+        _ptr(sym), _ptr(count), _ptr(lit_len), _ptr(lits),
+        _ptr(n_cmds), _ptr(n_lits))
+    if rc != 0:
+        raise RuntimeError(f"planar_from_bytes rc={rc}")
     return sym, count, lit_len, lits, n_cmds, n_lits
 
 
