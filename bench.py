@@ -68,18 +68,25 @@ def emit(value_gbps: float, note: str = ""):
     }))
 
 
-def host_fallback_gbps(data: np.ndarray) -> float:
-    """Native C++ scalar decoder throughput (reference-format rle8)."""
+def host_fallback_gbps(data: np.ndarray, block: int = 1 << 16) -> float:
+    """Native C++ threaded block decoder throughput (planar commands ->
+    bytes, csrc decode_planar_batch) — the host runtime's decode path."""
+    from hypersonic_rle_kit_tpu.ops import planar
     from hypersonic_rle_kit_tpu.utils import native
-    payload = data.tobytes()
-    comp = native.rle8_compress(payload)
-    if not comp:
+    if native.lib() is None:
         return 0.0
-    t0 = time.perf_counter()
-    out = native.rle8_decompress(comp)
-    dt = time.perf_counter() - t0
-    assert out == payload
-    return len(payload) / dt / 1e9
+    nb = data.size // block
+    x = data[: nb * block].reshape(nb, block)
+    lens = np.full(nb, block, np.int32)
+    cols = native.planar_from_bytes(x, lens, planar.capacity_for(block, 6))
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = native.decode_planar(cols[0], cols[1], cols[2], cols[3],
+                                   cols[4], lens)
+        best = max(best, x.size / (time.perf_counter() - t0) / 1e9)
+    assert (out == x).all()
+    return best
 
 
 def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
@@ -156,14 +163,30 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
     results["done"] = True
 
 
+def run_device_phase(data: np.ndarray, args) -> dict:
+    """One device-phase attempt inside this process, under a watchdog
+    thread (the tunnel can wedge inside a fetch, which is not interruptible)."""
+    results: dict = {"done": False, "ok": False, "gbps": 0.0}
+    t = threading.Thread(target=device_bench,
+                         args=(data, args.block, args.iters, results),
+                         daemon=True)
+    t.start()
+    t.join(args.timeout)
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mib", type=int, default=64)
     ap.add_argument("--block", type=int, default=1 << 16)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--attempts", type=int, default=2,
+                    help="device-phase attempts (fresh subprocess each)")
     ap.add_argument("--timeout", type=float, default=420.0,
-                    help="device-phase watchdog (s)")
+                    help="per-attempt device-phase watchdog (s)")
+    ap.add_argument("--device-phase", metavar="OUT_JSON",
+                    help="internal: run one device attempt, dump results")
     args = ap.parse_args()
     if args.quick:
         args.mib, args.iters, args.timeout = 8, 3, 180.0
@@ -171,23 +194,48 @@ def main():
     data = make_dataset(args.mib)
     from hypersonic_rle_kit_tpu.utils import native
     native.lib()          # build the native runtime outside the timed region
-    results: dict = {"done": False, "ok": False, "gbps": 0.0}
 
-    t = threading.Thread(target=device_bench,
-                         args=(data, args.block, args.iters, results),
-                         daemon=True)
-    t.start()
-    t.join(args.timeout)
+    if args.device_phase:
+        results = run_device_phase(data, args)
+        with open(args.device_phase, "w") as f:
+            json.dump(results, f)
+        os._exit(0)       # worker thread may be stuck in a device fetch
 
-    if results["done"] and results["ok"]:
+    # The TPU tunnel in this environment wedges transiently; each attempt
+    # runs in a fresh subprocess so a dead JAX runtime can't poison retries.
+    import subprocess
+    import tempfile
+    results = {"done": False, "ok": False, "gbps": 0.0}
+    for attempt in range(args.attempts):
+        with tempfile.NamedTemporaryFile(suffix=".json") as tf:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--device-phase", tf.name,
+                   "--mib", str(args.mib), "--block", str(args.block),
+                   "--iters", str(args.iters),
+                   "--timeout", str(args.timeout)]
+            try:
+                subprocess.run(cmd, timeout=args.timeout + 120)
+                got = json.load(open(tf.name))
+            except Exception as e:
+                log(f"device attempt {attempt + 1} failed: {e!r}")
+                got = None
+        if got:
+            results = got
+            if results.get("done") and results.get("ok"):
+                break
+        log(f"device attempt {attempt + 1}/{args.attempts}: "
+            f"done={results.get('done')} ok={results.get('ok')}")
+
+    if results.get("done") and results.get("ok"):
         emit(results["gbps"])
         return
-    note = ("device phase timed out (TPU tunnel unreachable); reporting the "
-            "native host decoder instead" if not results["done"]
+    note = ("device phase unavailable (TPU tunnel unreachable); reporting "
+            "the native threaded host block decoder instead"
+            if not results.get("done")
             else "device roundtrip FAILED; reporting 0")
-    gbps = host_fallback_gbps(data[: 16 << 20]) if not results["done"] else 0.0
+    gbps = host_fallback_gbps(data[: 32 << 20]) if not results.get("done") \
+        else 0.0
     emit(gbps, note)
-    os._exit(0)      # the worker thread may be stuck in a device fetch
 
 
 if __name__ == "__main__":

@@ -11,15 +11,56 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libhsrk_host.so hsrk_host.cpp
 
+#include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <algorithm>
+#include <thread>
+#include <vector>
 
 #if defined(__AVX2__)
 #include <immintrin.h>
 #endif
 
 namespace {
+
+// Blocks are independent (the whole point of the HRT1 container), so every
+// batch entry point fans out over a small thread pool.  The reference is
+// single-threaded by design (README.md:19); the TPU framework's host runtime
+// is free to exceed that (SURVEY.md section 2.4).  HSRK_THREADS overrides.
+int n_threads() {
+  if (const char *e = std::getenv("HSRK_THREADS")) {
+    const int n = std::atoi(e);
+    if (n >= 1) return n > 64 ? 64 : n;
+  }
+  const unsigned hc = std::thread::hardware_concurrency();
+  return hc ? (int)hc : 1;
+}
+
+template <class F>
+int parallel_blocks(int64_t nb, F &&fn) {  // fn(b) -> 0 | error code
+  const int nt = std::min<int64_t>(n_threads(), nb);
+  if (nt <= 1) {
+    for (int64_t b = 0; b < nb; b++)
+      if (const int rc = fn(b)) return rc;
+    return 0;
+  }
+  std::atomic<int64_t> next{0};
+  std::atomic<int> rc{0};
+  std::vector<std::thread> ts;
+  ts.reserve(nt);
+  for (int t = 0; t < nt; t++)
+    ts.emplace_back([&] {
+      for (;;) {
+        const int64_t b = next.fetch_add(1, std::memory_order_relaxed);
+        if (b >= nb || rc.load(std::memory_order_relaxed)) return;
+        if (const int r = fn(b)) rc.store(r, std::memory_order_relaxed);
+      }
+    });
+  for (auto &th : ts) th.join();
+  return rc.load();
+}
 
 // first j >= i with d[j] != v
 inline int64_t run_end(const uint8_t *d, int64_t i, int64_t n, uint8_t v) {
@@ -83,7 +124,7 @@ int rows_from_planar(
   const int64_t ROW = 128;
   const int64_t rows = B / ROW;
   // row fields are [nb, rows, WPAD]; litrow [nb, rows, 128]
-  for (int64_t b = 0; b < nb; b++) {
+  return parallel_blocks(nb, [&](int64_t b) -> int {
     int32_t *rs = row_sym + b * rows * WPAD;
     int32_t *ra = row_start + b * rows * WPAD;
     int32_t *re = row_end + b * rows * WPAD;
@@ -131,8 +172,8 @@ int rows_from_planar(
         pos += take;
       }
     }
-  }
-  return 0;
+    return 0;
+  });
 }
 
 // ---------------------------------------------------------------------------
@@ -151,7 +192,7 @@ int planes_from_planar(
     int16_t *delta, uint8_t *lit_plane) {
   const int64_t ROW = 128;
   const int16_t OPEN = 256;
-  for (int64_t b = 0; b < nb; b++) {
+  return parallel_blocks(nb, [&](int64_t b) -> int {
     const uint8_t *sy = sym + b * cap * width;  // width bytes per command
     const int32_t *ct = count + b * cap;
     const int32_t *ll = lit_len + b * cap;
@@ -187,8 +228,8 @@ int planes_from_planar(
       }
       pos = e;
     }
-  }
-  return 0;
+    return 0;
+  });
 }
 
 // ---------------------------------------------------------------------------
@@ -204,7 +245,7 @@ int fused_delta_from_planar(
     const uint8_t *lits, const int32_t *n_cmds,
     int64_t nb, int64_t cap, int64_t B, int64_t width, uint8_t *delta) {
   const int64_t ROW = 128;
-  for (int64_t b = 0; b < nb; b++) {
+  return parallel_blocks(nb, [&](int64_t b) -> int {
     const uint8_t *sy = sym + b * cap * width;  // width bytes per command
     const int32_t *ct = count + b * cap;
     const int32_t *ll = lit_len + b * cap;
@@ -242,8 +283,8 @@ int fused_delta_from_planar(
       }
       pos = e;
     }
-  }
-  return 0;
+    return 0;
+  });
 }
 
 // ---------------------------------------------------------------------------
@@ -290,14 +331,50 @@ int planar_from_bytes_batch(
     int64_t B, int32_t min_count,
     uint8_t *sym, int32_t *count, int32_t *lit_len, uint8_t *lits,
     int32_t *n_cmds, int32_t *n_lits) {
-  for (int64_t b = 0; b < nb; b++) {
-    const int rc = planar_from_bytes(
+  return parallel_blocks(nb, [&](int64_t b) -> int {
+    return planar_from_bytes(
         data + b * B, lens[b], cap, B, min_count, sym + b * cap,
         count + b * cap, lit_len + b * cap, lits + b * B, n_cmds + b,
         n_lits + b);
-    if (rc) return rc;
-  }
-  return 0;
+  });
+}
+
+// ---------------------------------------------------------------------------
+// planar commands -> bytes (host block decoder: memcpy literals + memset
+// runs per command — the same loop shape as the reference's decode hot loop,
+// rle8_extreme_cpu.h:1825-1913, threaded over independent blocks).  Output
+// is [nb, B]; bytes past block_len[b] are zeroed (device decode semantics).
+// ---------------------------------------------------------------------------
+
+int decode_planar_batch(
+    const uint8_t *sym, const int32_t *count, const int32_t *lit_len,
+    const uint8_t *lits, const int32_t *n_cmds, const int32_t *block_len,
+    int64_t nb, int64_t cap, int64_t B, uint8_t *out) {
+  return parallel_blocks(nb, [&](int64_t b) -> int {
+    const uint8_t *sy = sym + b * cap;
+    const int32_t *ct = count + b * cap;
+    const int32_t *ll = lit_len + b * cap;
+    const uint8_t *li = lits + b * B;
+    uint8_t *o = out + b * B;
+    int64_t pos = 0, lp = 0;
+    const int32_t nc = n_cmds[b];
+    if (nc > cap) return -2;
+    for (int32_t c = 0; c < nc; c++) {
+      const int64_t l = ll[c];
+      if (l < 0 || pos + l > B || lp + l > B) return -3;
+      memcpy(o + pos, li + lp, l);
+      lp += l;
+      pos += l;
+      const int64_t n = ct[c];
+      if (!n) continue;
+      if (n < 0 || pos + n > B) return -3;
+      memset(o + pos, sy[c], n);
+      pos += n;
+    }
+    if (pos != block_len[b]) return -4;
+    if (pos < B) memset(o + pos, 0, B - pos);
+    return 0;
+  });
 }
 
 // ---------------------------------------------------------------------------

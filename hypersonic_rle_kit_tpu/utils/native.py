@@ -22,7 +22,7 @@ _tried = False
 
 def _build() -> bool:
     _SO.parent.mkdir(exist_ok=True)
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
            "-o", str(_SO), str(_SRC)]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -47,6 +47,7 @@ def lib():
     i64, i32p, u8p = (ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
                       ctypes.POINTER(ctypes.c_uint8))
     L.rows_from_planar.restype = ctypes.c_int
+    L.decode_planar_batch.restype = ctypes.c_int
     L.planar_from_bytes.restype = ctypes.c_int
     L.planar_from_bytes_batch.restype = ctypes.c_int
     L.planes_from_planar.restype = ctypes.c_int
@@ -166,6 +167,31 @@ def planar_from_bytes(x: np.ndarray, lens: np.ndarray, cap: int,
     if rc != 0:
         raise RuntimeError(f"planar_from_bytes rc={rc}")
     return sym, count, lit_len, lits, n_cmds, n_lits
+
+
+def decode_planar(sym, count, lit_len, lits, n_cmds, block_len):
+    """Native threaded block decoder: planar columns -> [nb, B] bytes
+    (zero past block_len); None if the library is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    nb, cap = count.shape
+    B = lits.shape[1]
+    out = np.empty((nb, B), np.uint8)
+    args = [np.ascontiguousarray(sym, np.uint8),
+            np.ascontiguousarray(count, np.int32),
+            np.ascontiguousarray(lit_len, np.int32),
+            np.ascontiguousarray(lits, np.uint8),
+            np.ascontiguousarray(n_cmds, np.int32),
+            np.ascontiguousarray(block_len, np.int32)]
+    rc = L.decode_planar_batch(
+        _ptr(args[0]), _ptr(args[1]), _ptr(args[2]), _ptr(args[3]),
+        _ptr(args[4]), _ptr(args[5]),
+        ctypes.c_int64(nb), ctypes.c_int64(cap), ctypes.c_int64(B),
+        _ptr(out))
+    if rc != 0:
+        raise RuntimeError(f"decode_planar_batch failed rc={rc}")
+    return out
 
 
 def rle8_compress(data: bytes) -> bytes | None:
