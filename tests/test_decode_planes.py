@@ -43,13 +43,14 @@ def test_planes_roundtrip_host_and_kernel():
         np.testing.assert_array_equal(yk, x)
 
 
-def test_fused_roundtrip_host_and_kernel():
+@pytest.mark.parametrize("impl", ["bf16", "int8"])
+def test_fused_roundtrip_host_and_kernel(impl):
     for x, sym, cnt, ll, lits, ncm in _planar_corpus():
         delta = dp.fused_delta_from_planar_np(sym, cnt, ll, lits, ncm)
         y = dp.decode_fused_host(delta)
         np.testing.assert_array_equal(y, x)
         yk = np.asarray(dp.decode_fused_device(delta, interpret=True,
-                                               tile_rows=8))
+                                               tile_rows=8, impl=impl))
         np.testing.assert_array_equal(yk, x)
         if native.lib() is not None:
             d_c = native.fused_delta_from_planar(sym, cnt, ll, lits, ncm)
@@ -95,6 +96,10 @@ def test_fused_multiwidth(width):
     yk = np.asarray(dp.decode_fused_device(delta, width=width,
                                            interpret=True, tile_rows=4))
     np.testing.assert_array_equal(yk[0, : exp.size], exp)
+    y8 = np.asarray(dp.decode_fused_device(delta, width=width,
+                                           interpret=True, tile_rows=4,
+                                           impl="int8"))
+    np.testing.assert_array_equal(y8[0, : exp.size], exp)
     if native.lib() is not None:
         d_c = native.fused_delta_from_planar(sym, count, lit_len, lits, ncm,
                                              width=width)
