@@ -229,9 +229,11 @@ def decode_fused_device(delta: jnp.ndarray, *, width: int = 1,
     if impl == "int8":
         kernel = functools.partial(_fused_kernel_int8, width=width)
         tri = jnp.asarray(_tri(width), jnp.int8)
-    else:
+    elif impl == "bf16":
         kernel = _fused_kernel
         tri = jnp.asarray(_tri(width), jnp.bfloat16)
+    else:
+        raise ValueError(f"impl must be 'bf16' or 'int8', got {impl!r}")
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(((T + pad), ROW), jnp.uint8),

@@ -41,12 +41,17 @@ def _parse_section_to_planar(buf: memoryview, p: int, want: int,
     lits = bytearray()
     lit_run = 0
     produced = 0
+    end = len(buf)
     while produced < want:
+        if p >= end:
+            raise ValueError("low-entropy stream truncated mid-subsection")
         b = buf[p]; p += 1
         lits.append(b)
         lit_run += 1
         produced += 1
         if rle[b]:
+            if p >= end:
+                raise ValueError("low-entropy stream truncated at count byte")
             c = int(stc[buf[p]]); p += 1
             if c:
                 sym.append(b)
@@ -54,6 +59,12 @@ def _parse_section_to_planar(buf: memoryview, p: int, want: int,
                 lit_len.append(lit_run)
                 lit_run = 0
                 produced += c
+    if produced != want:
+        # a run crossed the subsection boundary: the host decoder carries the
+        # overshoot into the next subsection; here it means the stream does
+        # not decompose into independent blocks, so fail loudly.
+        raise ValueError(
+            f"subsection overshoot: produced {produced}, wanted {want}")
     sym.append(0)
     count.append(0)
     lit_len.append(lit_run)          # tail command (count == 0)
@@ -118,7 +129,11 @@ def rle8m_decompress_device(buf) -> bytes:
     subs = struct.unpack_from("<I", buf, p)[0]; p += 4
     if subs == 0 or usize == 0:
         return b""
-    p += 4 * (subs - 1)               # offset table (host parse re-walks)
+    # per-subsection end offsets are authoritative (rle8_ocl.c pStartOffsets;
+    # host rle8m_decompress re-anchors the same way)
+    offsets = [struct.unpack_from("<I", buf, p + 4 * i)[0]
+               for i in range(subs - 1)]
+    p += 4 * (subs - 1)
     rle = np.unpackbits(np.frombuffer(buf, np.uint8, 32, p),
                         bitorder="little").astype(bool)
     p += 32
@@ -129,10 +144,16 @@ def rle8m_decompress_device(buf) -> bytes:
 
     sub = usize // subs
     sizes = [sub] * (subs - 1) + [usize - sub * (subs - 1)]
+    bounds = offsets + [_csize]
     parts = []
-    for want in sizes:
+    for k, want in enumerate(sizes):
         part = _parse_section_to_planar(buf, p, want, rle, stc)
         p = part[-1]
+        if p > bounds[k]:
+            raise ValueError(
+                f"subsection {k} parse ran past its recorded offset "
+                f"({p} > {bounds[k]})")
+        p = bounds[k]                 # re-anchor to the recorded offset
         parts.append(part)
     pb = _stack_planar(parts, sizes)
     out = np.asarray(device.decode_blocks(pb))

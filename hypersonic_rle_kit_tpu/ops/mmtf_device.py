@@ -98,6 +98,17 @@ def bitmmtf_encode_device(x: jnp.ndarray, *, unit: int = 1) -> jnp.ndarray:
     return (v ^ prev).reshape(nb, n)
 
 
+@functools.partial(jax.jit, static_argnames=("lanes", "encode"))
+def _mtf_scan(units: jnp.ndarray, *, lanes: int, encode: bool):
+    """Scan the per-lane MTF over ``[n_units, lanes]`` units; returns the
+    final history table and the transformed units.  Module-level jit so the
+    compile cache hits across calls (one trace per (lanes, encode))."""
+    init = jnp.broadcast_to(jnp.arange(256, dtype=jnp.int32)[None, :],
+                            (lanes, 256))
+    return jax.lax.scan(
+        lambda t, row: _mtf_step(t, row, encode=encode), init, units)
+
+
 @functools.partial(jax.jit, static_argnames=("unit",))
 def bitmmtf_decode_device(x: jnp.ndarray, *, unit: int = 1) -> jnp.ndarray:
     """Prefix-XOR over units — ``lax.associative_scan`` turns the serial
@@ -124,14 +135,8 @@ def mmtf_transform(data, *, lanes: int = 16, encode: bool = True) -> bytes:
     out = np.empty(n, np.uint8)
     table = np.tile(np.arange(256, dtype=np.int32), (lanes, 1))
     if full:
-        x = jnp.asarray(arr[:full].reshape(1, full))
-        units = x.reshape(1, full // lanes, lanes)
-        final_t, res = jax.jit(
-            lambda u: jax.lax.scan(
-                lambda t, row: _mtf_step(t, row, encode=encode),
-                jnp.broadcast_to(jnp.arange(256, dtype=jnp.int32)[None, :],
-                                 (lanes, 256)),
-                u[0]))(units)
+        units = jnp.asarray(arr[:full].reshape(full // lanes, lanes))
+        final_t, res = _mtf_scan(units, lanes=lanes, encode=encode)
         out[:full] = np.asarray(res).reshape(-1)
         table = np.asarray(final_t)
     for i in range(full, n):
