@@ -2,12 +2,21 @@ import os
 
 # Tests run on the CPU backend with a virtual 8-device mesh so sharding and
 # multi-chip code paths are exercised without TPU hardware (SURVEY.md section 4).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Forced (not setdefault): the ambient environment may pin JAX_PLATFORMS to a
+# TPU plugin (and plugin bootstrap code may force jax.config.jax_platforms at
+# interpreter start), and hardware tests belong in bench.py, not the unit
+# suite.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+if jax.config.jax_platforms != "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: XLA compiles dominate test wall-time on this
 # 2-core host; cache them across runs.
