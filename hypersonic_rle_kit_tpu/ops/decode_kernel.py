@@ -1,0 +1,301 @@
+"""Fused Pallas decode kernel: compressed-size command streams -> bytes.
+
+The flagship device decode.  One grid step decodes one 16 KiB supertile (128
+rows x 128 lanes) of one block, reading only O(compressed) inputs:
+
+    packed_open  [CR, 128] i32   (run_start << 11 | live << 10 | val+512)
+    packed_close [CR, 128] i32   (run_end   << 11 | live << 10 | val+512)
+    lits         [BLR, 128] u8   (the packed literal bytes)
+    block_len    scalar
+
+and writing the decoded supertile.  HBM traffic is ~0.3 read + 1 write bytes
+per output byte — the compression ratio finally buys decode bandwidth, like
+the reference decoder that touches only compressed bytes
+(rle8_extreme_cpu.h:1825-1913) and the OpenCL path that uploads payload only
+(rle8_ocl.c:335-348).
+
+Inside the kernel (per supertile, everything in VMEM/registers):
+
+1. **window**: commands are position-sorted, so the commands relevant to
+   this supertile are a contiguous slice; its start is a compare-sum over
+   the packed stream, the slice a dynamic sublane read (no gather).
+2. **paint**: one-hot matmuls on the MXU accumulate ``sym-128`` values and
+   run open/close markers — the scatter expressed as small [128,E]x[E,128]
+   contractions (exact: operands are bf16 integers <= 256).
+3. **scan**: a lower-triangular matmul + a log-step row-carry turn the
+   markers into per-byte coverage + symbol (the MEMSET dual).
+4. **literals**: covered-byte ranks make the literal source index a
+   staircase; one dynamic window slice + a 15-stage `staircase_pull`
+   places every literal (the MEMCPY dual, ops/shuffle.py).
+
+Whole-supertile run carries and the literal stream offset come from O(C)
+compare-sum reductions — the parallel replacement for the reference's
+serial output cursor.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import shuffle
+
+ROW = 128
+SUPR = 128                  # rows per supertile
+SUP = SUPR * ROW            # supertile bytes (16 KiB)
+_POS_SHIFT = 11
+_LIVE_BIT = 1 << 10
+_VAL_MASK = (1 << 10) - 1
+_VAL_OFF = 512
+
+EKR_BUCKETS = (2, 3, 5, 9, 17)   # window rows (x128 commands) per supertile
+
+
+def _jroll(x, s, axis):
+    return jnp.roll(x, s, axis)
+
+
+def _proll(x, s, axis):
+    return pltpu.roll(x, s, axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# host-side prep: planar columns -> packed command streams (O(C) numpy)
+# ---------------------------------------------------------------------------
+
+def pack_commands(sym, count, lit_len, n_cmds, block_size: int):
+    """Planar columns [nb, C] -> (packed_open, packed_close) [nb, CR, 128]
+    i32 + the smallest sufficient window bucket (EKR, or None if the data is
+    denser than any bucket).  Pure O(nb*C) numpy.
+    """
+    nb, C = count.shape
+    c_idx = np.arange(C)[None, :]
+    real = c_idx < n_cmds[:, None]
+    ll = np.where(real, lit_len, 0).astype(np.int64)
+    ct = np.where(real, count, 0).astype(np.int64)
+    span = ll + ct
+    out_start = np.cumsum(span, axis=-1) - span
+    run_start = out_start + ll
+    run_end = run_start + ct
+    is_run = real & (ct > 0)
+
+    SENT = block_size + SUP
+    s32 = sym.astype(np.int64)
+    po = np.where(is_run, run_start, SENT) << _POS_SHIFT
+    po |= np.where(is_run, ((s32 - 128) + _VAL_OFF) | _LIVE_BIT, _VAL_OFF)
+    # closes on a supertile boundary paint nothing (the run simply is not
+    # carried over); keep the position for the carry/offset reductions
+    live_c = is_run & (run_end % SUP != 0)
+    pc = np.where(is_run, run_end, SENT) << _POS_SHIFT
+    pc |= np.where(live_c, ((128 - s32) + _VAL_OFF) | _LIVE_BIT, _VAL_OFF)
+
+    ekr_max = EKR_BUCKETS[-1] + 8      # + alignment slack rows
+    CR = max((C + ROW - 1) // ROW, ekr_max)
+    pad = CR * ROW - C
+    sent_word = (SENT << _POS_SHIFT) | _VAL_OFF
+    if pad:
+        fill = np.full((nb, pad), sent_word, np.int64)
+        po = np.concatenate([po, fill], axis=1)
+        pc = np.concatenate([pc, fill], axis=1)
+
+    # smallest window bucket that covers the busiest supertile
+    sup = min(SUP, block_size)
+    n_sup = (block_size + sup - 1) // sup
+    bounds = np.arange(n_sup + 1) * sup
+    mx = 1
+    for pos, side in ((np.where(is_run, run_start, SENT), "left"),
+                      (np.where(is_run, run_end, SENT), "right")):
+        ps = np.sort(pos, axis=-1)
+        cnt = np.stack([np.searchsorted(ps[b], bounds, side=side)
+                        for b in range(nb)]) if nb else np.zeros((0, 1))
+        if nb:
+            mx = max(mx, int(np.diff(cnt, axis=-1).max()))
+    ekr = next((k for k in EKR_BUCKETS if (k - 1) * ROW >= mx), None)
+    return (po.reshape(nb, CR, ROW).astype(np.int32),
+            pc.reshape(nb, CR, ROW).astype(np.int32), ekr)
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _decode_body(blen_ref, open_ref, close_ref, lits_ref, tri_ref, out_ref,
+                 *, ekr: int, sup_rows: int, cr: int, interpret: bool):
+    roll = _jroll if interpret else _proll
+    sup = sup_rows * ROW
+    ts = pl.program_id(1)
+    bnd = ts * sup
+    blen = blen_ref[pl.program_id(0), 0]
+
+    op = open_ref[0]                      # [CR, 128] i32
+    cl = close_ref[0]
+    op_pos = jax.lax.shift_right_logical(op, _POS_SHIFT)
+    cl_pos = jax.lax.shift_right_logical(cl, _POS_SHIFT)
+
+    # O(C) reductions: window starts, whole-supertile carry, literal offset
+    e0o = jnp.sum((op_pos < bnd).astype(jnp.int32))
+    e0c = jnp.sum((cl_pos <= bnd).astype(jnp.int32))
+    spans = (op_pos < bnd) & (cl_pos > bnd)
+    carry_sym = jnp.sum(jnp.where(spans, (op & _VAL_MASK) - _VAL_OFF, 0))
+    carry_ind = jnp.sum(spans.astype(jnp.int32))
+    bndc = jnp.minimum(bnd, blen)
+    covered = jnp.sum(jnp.maximum(
+        jnp.minimum(cl_pos, bndc) - jnp.minimum(op_pos, bndc), 0))
+    l0 = bndc - covered                   # literals before this supertile
+
+    row_base = ts * sup_rows
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (ROW, ROW), 1)
+
+    def paint(ref, e0, sign):
+        # dynamic sublane reads must start on 8-row boundaries; positional
+        # masking absorbs the slack rows
+        wr = ekr + 8
+        r0 = pl.multiple_of(jnp.clip((e0 // ROW) & ~7, 0, cr - wr), 8)
+        win = ref[0, pl.ds(r0, wr), :]                  # [wr, 128] i32
+        tw = jnp.swapaxes(win, 0, 1)                    # [128, wr]
+        sym_acc = jnp.zeros((ROW, ROW), jnp.float32)
+        ind_acc = jnp.zeros((ROW, ROW), jnp.float32)
+        dn = (((0,), (0,)), ((), ()))
+        for k in range(wr):
+            w = tw[:, k:k + 1]                          # [128, 1]
+            pos = jax.lax.shift_right_logical(w, _POS_SHIFT)
+            live = ((w >> 10) & 1).astype(jnp.bfloat16)
+            val = ((w & _VAL_MASK) - _VAL_OFF).astype(jnp.bfloat16)
+            rowm = (pos // ROW - row_base) == lane_iota  # [128e, 128r]
+            lanem = (pos % ROW == lane_iota).astype(jnp.bfloat16)
+            a = rowm.astype(jnp.bfloat16)
+            bs = lanem * (val * live)
+            bi = lanem * (live * jnp.bfloat16(sign))
+            sym_acc += jax.lax.dot_general(
+                a, bs, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+            ind_acc += jax.lax.dot_general(
+                a, bi, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+        return sym_acc, ind_acc
+
+    so, io_ = paint(open_ref, e0o, 1)
+    sc, ic = paint(close_ref, e0c, -1)
+    at00 = (jax.lax.broadcasted_iota(jnp.int32, (ROW, ROW), 0) == 0) & \
+           (lane_iota == 0)
+    d_sym = (so + sc).astype(jnp.int32) + jnp.where(at00, carry_sym, 0)
+    d_ind = (io_ + ic).astype(jnp.int32) + jnp.where(at00, carry_ind, 0)
+
+    def row_scan(x_i32):
+        """Inclusive row-major cumsum of a [r,128] int plane: triangular
+        matmul within rows + log-step carry across rows."""
+        r = x_i32.shape[0]
+        c = jax.lax.dot_general(
+            x_i32.astype(jnp.bfloat16), tri_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        tot = c[:, ROW - 1:ROW]                        # [r, 1]
+        acc = tot
+        rr = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+        nb_ = max(1, (r - 1).bit_length())
+        for b in range(nb_):
+            acc = acc + jnp.where(rr >= (1 << b), roll(acc, 1 << b, 0), 0)
+        return c + (acc - tot)                         # add earlier-row carry
+
+    cum_sym = row_scan(d_sym)[:sup_rows]
+    cum_ind = row_scan(d_ind)[:sup_rows]
+    cov = cum_ind >= 1
+    sym_exp = ((cum_sym + 384 * cum_ind) & 0xFF).astype(jnp.uint8)
+
+    flat = (jax.lax.broadcasted_iota(jnp.int32, (sup_rows, ROW), 0) * ROW
+            + jax.lax.broadcasted_iota(jnp.int32, (sup_rows, ROW), 1))
+    in_len = (bnd + flat) < blen
+    is_lit = (~cov) & in_len
+    lit_i = is_lit.astype(jnp.int32)
+    rank = row_scan(lit_i) - lit_i
+
+    # literal window + staircase spread (see module docstring, stage 4)
+    w0 = pl.multiple_of((l0 // ROW) & ~7, 8)           # aligned window row
+    m = l0 - w0 * ROW                                  # in-window offset
+    win = lits_ref[0, pl.ds(w0, sup_rows + 9), :].astype(jnp.int32)
+    OFF = 8 * ROW
+    d_top = flat + OFF - (m + rank)                    # destinations
+    qflat = (jax.lax.broadcasted_iota(jnp.int32, (8, ROW), 0) * ROW
+             + jax.lax.broadcasted_iota(jnp.int32, (8, ROW), 1))
+    d_pad = jnp.minimum(qflat, OFF - m)                # staircase filler rows
+    d_all = jnp.concatenate([d_pad, d_top, jnp.zeros((1, ROW), jnp.int32)],
+                            axis=0)
+    pulled = shuffle.staircase_pull(win, d_all, roll)
+    lit_exp = pulled[8:8 + sup_rows].astype(jnp.uint8)
+
+    out = jnp.where(cov, sym_exp, lit_exp)
+    out_ref[0] = jnp.where(in_len, out, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "ekr",
+                                             "interpret"))
+def decode_packed(packed_open: jnp.ndarray, packed_close: jnp.ndarray,
+                  lits: jnp.ndarray, block_len: jnp.ndarray, *,
+                  block_size: int, ekr: int,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Decode packed command streams -> [nb, block_size] uint8.
+
+    packed_open/close: [nb, CR, 128] i32 (pack_commands); lits [nb, BL] u8;
+    block_len [nb] i32.  block_size must be a multiple of 16384, or itself
+    a multiple of 1024 below that (the supertile shrinks to fit).
+    """
+    nb, CR, _ = packed_open.shape
+    B = block_size
+    sup_rows = min(SUPR, B // ROW)
+    sup = sup_rows * ROW
+    assert B % sup == 0, (B, sup)
+    TS = B // sup
+    R = B // ROW
+
+    BL = lits.shape[1]
+    need_rows = (BL + ROW - 1) // ROW + sup_rows + 16
+    lits_pad = jnp.pad(lits, ((0, 0), (0, need_rows * ROW - BL)))
+    lits3 = lits_pad.reshape(nb, need_rows, ROW)
+
+    tri = jnp.asarray(np.tril(np.ones((ROW, ROW), np.float32)).T,
+                      jnp.bfloat16)          # tri[p, j] = p <= j
+
+    kernel = functools.partial(_decode_body, ekr=ekr, sup_rows=sup_rows,
+                               cr=CR, interpret=interpret)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb, TS),
+        in_specs=[
+            pl.BlockSpec((nb, 1), lambda b, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, CR, ROW), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CR, ROW), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, need_rows, ROW), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW, ROW), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, sup_rows, ROW),
+                               lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, R, ROW), jnp.uint8),
+        interpret=interpret,
+    )(block_len.astype(jnp.int32).reshape(nb, 1), packed_open, packed_close,
+      lits3, tri)
+    return out.reshape(nb, B)
+
+
+def decode_planar_kernel(sym, count, lit_len, lits, n_cmds, block_len, *,
+                         block_size: int, interpret: bool = False):
+    """Planar numpy columns -> decoded [nb, block_size] uint8 via the fused
+    kernel (host does only the O(C) packing)."""
+    po, pc, ekr = pack_commands(np.asarray(sym), np.asarray(count),
+                                np.asarray(lit_len), np.asarray(n_cmds),
+                                block_size)
+    if ekr is None:
+        raise ValueError("command density exceeds kernel window buckets")
+    return decode_packed(jnp.asarray(po), jnp.asarray(pc), jnp.asarray(lits),
+                         jnp.asarray(block_len), block_size=block_size,
+                         ekr=ekr, interpret=interpret)

@@ -26,18 +26,23 @@ import jax.numpy as jnp
 LANES = 128
 
 
-def flat_roll(x: jnp.ndarray, s: int) -> jnp.ndarray:
+def _jroll(x, s, axis):
+    return jnp.roll(x, s, axis)
+
+
+def flat_roll(x: jnp.ndarray, s: int, roll=_jroll) -> jnp.ndarray:
     """Roll a [..., R, 128] tile by ``s`` positions forward in row-major
     order (``y[flat p] = x[flat p - s]``, wrapping at the tile boundary).
-    ``s`` is a static Python int."""
+    ``s`` is a static Python int.  ``roll`` selects the rotate primitive:
+    the default ``jnp.roll`` under XLA, ``pltpu.roll`` inside kernels."""
     R = x.shape[-2]
     s %= R * LANES
     m, q = s % LANES, s // LANES
-    c = jnp.roll(x, m, axis=-1) if m else x
-    a = jnp.roll(c, q, axis=-2) if q else c
+    c = roll(x, m, x.ndim - 1) if m else x
+    a = roll(c, q, x.ndim - 2) if q else c
     if m == 0:
         return a
-    b = jnp.roll(c, q + 1, axis=-2)
+    b = roll(c, q + 1, x.ndim - 2)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
     return jnp.where(lane >= m, a, b)
 
@@ -66,6 +71,27 @@ def inclusive_cumsum_tile(x: jnp.ndarray) -> jnp.ndarray:
 def exclusive_cumsum_tile(x: jnp.ndarray) -> jnp.ndarray:
     """Exclusive prefix sum over the flattened trailing (rows, 128) tile."""
     return inclusive_cumsum_tile(x) - x
+
+
+def staircase_pull(x: jnp.ndarray, d: jnp.ndarray, roll=_jroll) -> jnp.ndarray:
+    """Monotone gather ``y[p] = x[p - d[p]]`` over the flattened trailing
+    (rows, 128) tile, valid when the source map ``src(p) = p - d[p]`` is a
+    **staircase**: ``src(0) >= 0`` and ``src(p+1) - src(p) ∈ {0, 1}``.
+
+    Processes displacement bits high-to-low with one uniform roll + select
+    per bit.  General monotone maps collide under this scheme, but staircase
+    maps (exhaustively verified to n=12, randomized to n=1024) route
+    conflict-free — and a staircase is exactly what literal expansion needs:
+    the source literal index advances by at most one per output byte.
+    This is the TPU replacement for the decoder's literal MEMCPY walk
+    (rleX_extreme_common.h:116-142).
+    """
+    R = x.shape[-2]
+    nbits = (R * LANES - 1).bit_length()
+    for b in reversed(range(nbits)):
+        shifted = flat_roll(x, 1 << b, roll)
+        x = jnp.where((d >> b) & 1 == 1, shifted, x)
+    return x
 
 
 def forward_fill_tile(x: jnp.ndarray, valid: jnp.ndarray):

@@ -81,6 +81,22 @@ def test_forward_fill(rows, density, seed):
     assert (got[want_v] == want[want_v]).all()
 
 
+@pytest.mark.parametrize("rows", [1, 8])
+@pytest.mark.parametrize("density", [0.02, 0.3, 0.97])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_staircase_pull(rows, density, seed):
+    n = rows * 128
+    rng = np.random.default_rng(seed * 31 + rows)
+    steps = (rng.random(n - 1) < density).astype(np.int32)
+    src = np.concatenate(([0], np.cumsum(steps)))
+    x = rng.integers(0, 255, n).astype(np.int32)
+    d = (np.arange(n) - src).astype(np.int32)
+    got = np.asarray(shuffle.staircase_pull(
+        jnp.asarray(x.reshape(rows, 128)),
+        jnp.asarray(d.reshape(rows, 128)))).reshape(-1)
+    assert (got == x[src]).all()
+
+
 def test_forward_fill_batched():
     rng = np.random.default_rng(9)
     x = rng.integers(0, 99, (4, 2, 128)).astype(np.int32)
