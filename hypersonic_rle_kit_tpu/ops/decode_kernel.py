@@ -130,7 +130,8 @@ def _decode_body(blen_ref, open_ref, close_ref, lits_ref, tri_ref, out_ref,
     sup = sup_rows * ROW
     ts = pl.program_id(1)
     bnd = ts * sup
-    blen = blen_ref[pl.program_id(0), 0]
+    b = pl.program_id(0)
+    blen = blen_ref[b - 8 * (b // 8), 0]
 
     op = open_ref[0]                      # [CR, 128] i32
     cl = close_ref[0]
@@ -266,7 +267,7 @@ def decode_packed(packed_open: jnp.ndarray, packed_close: jnp.ndarray,
         kernel,
         grid=(nb, TS),
         in_specs=[
-            pl.BlockSpec((nb, 1), lambda b, t: (0, 0),
+            pl.BlockSpec((8, 1), lambda b, t: (b // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, CR, ROW), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -282,8 +283,8 @@ def decode_packed(packed_open: jnp.ndarray, packed_close: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb, R, ROW), jnp.uint8),
         interpret=interpret,
-    )(block_len.astype(jnp.int32).reshape(nb, 1), packed_open, packed_close,
-      lits3, tri)
+    )(jnp.pad(block_len.astype(jnp.int32), (0, (-nb) % 8)).reshape(-1, 1),
+      packed_open, packed_close, lits3, tri)
     return out.reshape(nb, B)
 
 
