@@ -47,14 +47,14 @@ def flat_roll(x: jnp.ndarray, s: int, roll=_jroll) -> jnp.ndarray:
     return jnp.where(lane >= m, a, b)
 
 
-def inclusive_cumsum_tile(x: jnp.ndarray) -> jnp.ndarray:
+def inclusive_cumsum_tile(x: jnp.ndarray, roll=_jroll) -> jnp.ndarray:
     """Inclusive prefix sum over the flattened trailing (rows, 128) tile:
     within-row log-shift scan, then a cross-row carry scan — uniform shifts
     only, no gathers."""
     s = x
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
     for b in range(7):                      # inclusive scan within each row
-        sh = jnp.roll(s, 1 << b, axis=-1)
+        sh = roll(s, 1 << b, x.ndim - 1)
         s = s + jnp.where(lane >= (1 << b), sh, 0)
     R = x.shape[-2]
     if R == 1:
@@ -63,14 +63,14 @@ def inclusive_cumsum_tile(x: jnp.ndarray) -> jnp.ndarray:
     acc = row_tot
     row = jax.lax.broadcasted_iota(jnp.int32, acc.shape, acc.ndim - 2)
     for b in range(max(1, (R - 1).bit_length())):
-        sh = jnp.roll(acc, 1 << b, axis=-2)
+        sh = roll(acc, 1 << b, x.ndim - 2)
         acc = acc + jnp.where(row >= (1 << b), sh, 0)
     return s + (acc - row_tot)              # add carry from earlier rows
 
 
-def exclusive_cumsum_tile(x: jnp.ndarray) -> jnp.ndarray:
+def exclusive_cumsum_tile(x: jnp.ndarray, roll=_jroll) -> jnp.ndarray:
     """Exclusive prefix sum over the flattened trailing (rows, 128) tile."""
-    return inclusive_cumsum_tile(x) - x
+    return inclusive_cumsum_tile(x, roll) - x
 
 
 def staircase_pull(x: jnp.ndarray, d: jnp.ndarray, roll=_jroll) -> jnp.ndarray:
@@ -94,7 +94,83 @@ def staircase_pull(x: jnp.ndarray, d: jnp.ndarray, roll=_jroll) -> jnp.ndarray:
     return x
 
 
-def forward_fill_tile(x: jnp.ndarray, valid: jnp.ndarray):
+def inclusive_cummax_tile(x: jnp.ndarray, roll=_jroll) -> jnp.ndarray:
+    """Inclusive prefix max over the flattened trailing (rows, 128) tile
+    (same shift network as :func:`inclusive_cumsum_tile`)."""
+    s = x
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    low = jnp.iinfo(x.dtype).min
+    for b in range(7):
+        sh = roll(s, 1 << b, x.ndim - 1)
+        s = jnp.maximum(s, jnp.where(lane >= (1 << b), sh, low))
+    R = x.shape[-2]
+    if R == 1:
+        return s
+    row_tot = s[..., -1:]
+    acc = jnp.full_like(row_tot, low)
+    row = jax.lax.broadcasted_iota(jnp.int32, row_tot.shape, row_tot.ndim - 2)
+    carry = jnp.where(row >= 1, roll(row_tot, 1, x.ndim - 2), low)
+    acc = carry
+    for b in range(1, max(1, (R - 1).bit_length())):
+        sh = roll(acc, 1 << b, x.ndim - 2)
+        acc = jnp.maximum(acc, jnp.where(row >= (1 << b), sh, low))
+    return jnp.maximum(s, acc)
+
+
+def suffix_min_tile(x: jnp.ndarray, roll=_jroll) -> jnp.ndarray:
+    """Inclusive suffix min over the flattened trailing (rows, 128) tile:
+    ``y[p] = min(x[p:])``.  Backward doubling with uniform rolls only."""
+    R = x.shape[-2]
+    n = R * LANES
+    big = jnp.iinfo(x.dtype).max
+    pos = (jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2) * LANES
+           + jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1))
+    s = x
+    b = 0
+    while (1 << b) < n:
+        sh = jnp.where(pos < n - (1 << b), flat_roll(s, -(1 << b), roll), big)
+        s = jnp.minimum(s, sh)
+        b += 1
+    return s
+
+
+def flat_compact(cols, keep: jnp.ndarray, roll=_jroll):
+    """Order-preserving left-compaction over the flattened trailing
+    (rows, 128) tile: elements of each column in ``cols`` where ``keep`` is
+    True end up packed at the start (flat order), followed by junk.
+
+    Every kept element moves left by ``delta = #dropped before it``; the
+    move is routed one displacement bit at a time (LSB first) with uniform
+    rolls + selects.  Monotone non-crossing of kept elements guarantees no
+    kept element is ever overwritten (exhaustively verified to n=12,
+    randomized to n=4000).  This is the TPU dual of the encoder's serial
+    command/literal emission cursor (rle8_extreme_cpu.h:768-931).
+
+    Returns ``(compacted_cols, live)`` where ``live[p]`` marks slots
+    holding a kept element (the first ``keep.sum()`` flat slots).
+    """
+    R = keep.shape[-2]
+    n = R * LANES
+    pos = (jax.lax.broadcasted_iota(jnp.int32, keep.shape, keep.ndim - 2)
+           * LANES
+           + jax.lax.broadcasted_iota(jnp.int32, keep.shape, keep.ndim - 1))
+    d = exclusive_cumsum_tile((~keep).astype(jnp.int32), roll)
+    live = keep
+    cols = list(cols)
+    for b in range(max(1, (n - 1).bit_length())):
+        s = 1 << b
+        in_range = pos < n - s
+        sl = flat_roll(live, -s, roll) & in_range
+        sd = flat_roll(d, -s, roll)
+        take = sl & ((sd >> b) & 1 == 1)
+        stay = live & ((d >> b) & 1 == 0)
+        live = take | stay
+        d = jnp.where(take, sd, d)
+        cols = [jnp.where(take, flat_roll(c, -s, roll), c) for c in cols]
+    return cols, live
+
+
+def forward_fill_tile(x: jnp.ndarray, valid: jnp.ndarray, roll=_jroll):
     """Forward-fill over the flattened trailing (rows, 128) tile: every flat
     position takes the value of the nearest valid position at or before it
     (an inclusive scan of the associative "keep-rightmost-valid" combiner).
@@ -109,8 +185,8 @@ def forward_fill_tile(x: jnp.ndarray, valid: jnp.ndarray):
     b = 0
     while (1 << b) < n:
         s = 1 << b
-        cx = flat_roll(x, s)
-        cv = flat_roll(valid, s) & (pos >= s)   # don't wrap across the start
+        cx = flat_roll(x, s, roll)
+        cv = flat_roll(valid, s, roll) & (pos >= s)  # don't wrap at the start
         take = ~valid & cv
         x = jnp.where(take, cx, x)
         valid = valid | cv
