@@ -58,8 +58,10 @@ def compress(data, codec: str | int | spec_mod.CodecSpec = "8 Bit", *,
              backend: str = "auto") -> bytes:
     """Compress to the HRT1 container.
 
-    ``backend``: 'device' (jit XLA encode), 'native' (C++ host encoder),
-    'host' (numpy golden path) or 'auto' (native if available, else device).
+    ``backend``: 'kernel' (Pallas block encoder, the flagship device path),
+    'device' (jit XLA encode), 'native' (C++ host encoder), 'host' (numpy
+    golden path) or 'auto' (native if available; else the Pallas kernel on
+    TPU backends, else XLA).  All encoders emit identical commands.
     """
     cspec = _resolve(codec)
     arr = _as_bytes_array(data)
@@ -78,6 +80,13 @@ def compress(data, codec: str | int | spec_mod.CodecSpec = "8 Bit", *,
         cols = native.planar_from_bytes(x, lens, cap, min_count)
         if cols is None and backend == "native":
             raise RuntimeError("native runtime unavailable")
+    if cols is None and (backend == "kernel" or (
+            backend == "auto" and jax.default_backend() == "tpu")):
+        from .ops import encode_sup
+        interp = jax.default_backend() != "tpu"
+        cols = [np.asarray(v) for v in encode_sup.encode_blocks_kernel(
+            jnp.asarray(x), jnp.asarray(lens), capacity=cap,
+            min_count=min_count, interpret=interp)]
     if cols is None and backend in ("auto", "device"):
         pb = device.encode_blocks(x, lens, capacity=cap, min_count=min_count)
         cols = [np.asarray(v) for v in
@@ -88,11 +97,23 @@ def compress(data, codec: str | int | spec_mod.CodecSpec = "8 Bit", *,
         cspec.index, arr.size, block_size, min_count, *cols)
 
 
+def _sup_for(block_size: int) -> int | None:
+    """Largest supported supertile size dividing ``block_size``."""
+    from .ops import decode_sup
+    if block_size > decode_sup.MAX_BLOCK:
+        return None
+    for s in (4096, 2048, 1024, 512, 256, 128):
+        if block_size % s == 0:
+            return s
+    return None
+
+
 def decompress(buf, *, backend: str = "auto") -> bytes:
     """Decompress an HRT1 container.
 
-    ``backend``: 'kernel' (Pallas row-expansion on TPU), 'device' (XLA),
-    'host' (numpy), 'auto' (kernel on TPU backends, else XLA).
+    ``backend``: 'kernel' (fused Pallas event decode -- the flagship device
+    path, O(compressed) input), 'device' (XLA), 'host' (numpy), 'auto'
+    (kernel on TPU backends, else XLA).
     """
     info, planar_cols = container.deserialize_to_planar(bytes(buf))
     sym, count, lit_len, lits, n_cmds, n_lits, block_len = planar_cols
@@ -101,14 +122,19 @@ def decompress(buf, *, backend: str = "auto") -> bytes:
     if backend == "auto":
         backend = "kernel" if jax.default_backend() == "tpu" else "device"
     if backend == "kernel":
-        from .ops import decode_planes as dp
-        from .utils import native
-        delta = native.fused_delta_from_planar(sym, count, lit_len, lits,
-                                               n_cmds)
-        if delta is None:
-            delta = dp.fused_delta_from_planar_np(sym, count, lit_len, lits,
-                                                  n_cmds)
-        y = np.asarray(dp.decode_fused_device(jnp.asarray(delta)))
+        from .ops import decode_sup
+        sup = _sup_for(info.block_size)
+        y = None
+        if sup is not None:
+            try:
+                y = np.asarray(decode_sup.decode_planar_sup(
+                    sym, count, lit_len, lits, n_cmds, n_lits, block_len,
+                    block_size=info.block_size, sup=sup))
+            except ValueError:        # denser than any window bucket
+                y = None
+        backend = "done" if y is not None else "device"  # XLA fallback
+    if backend == "done":
+        pass
     elif backend == "device":
         pb = planar.PlanarBlocks(
             jnp.asarray(sym), jnp.asarray(count), jnp.asarray(lit_len),

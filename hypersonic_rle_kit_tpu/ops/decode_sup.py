@@ -199,8 +199,8 @@ def _decode_body(widx_ref, carry_ref, lit0_ref, blen_ref,
                     rowm, bs, dimension_numbers=dn,
                     preferred_element_type=jnp.float32)
 
-    paint_window(evA_ref[0])
-    paint_window(evB_ref[0])
+    paint_window(evA_ref[0, 0])
+    paint_window(evB_ref[0, 0])
 
     at00 = (jax.lax.broadcasted_iota(jnp.int32, (sup_rows, ROW), 0) == 0) & \
            (jax.lax.broadcasted_iota(jnp.int32, (sup_rows, ROW), 1) == 0)
@@ -283,7 +283,9 @@ def decode_columns_device(sym, count, lit_len, lits, n_cmds, n_lits,
     crp = (-(-E // ROW) + 2 * wr + wr - 1) // wr * wr
     ev_rows = jnp.full((nb, crp * ROW), _PAD_WORD, jnp.int32)
     ev_rows = jax.lax.dynamic_update_slice(ev_rows, ev, (0, 0))
-    ev_rows = ev_rows.reshape(nb, crp, ROW)
+    # 4D window view: full-window blocks satisfy Mosaic's block-shape rule
+    # at any wr, and two half-offset windows cover any supertile's events
+    ev4 = ev_rows.reshape(nb, crp // wr, wr, ROW)
     widx = jnp.clip(e_start[:, :TS] // (wr * ROW), 0, crp // wr - 2)
 
     LR = R + sup_rows + 16
@@ -299,10 +301,10 @@ def decode_columns_device(sym, count, lit_len, lits, n_cmds, n_lits,
         num_scalar_prefetch=4,
         grid=(nb, TS),
         in_specs=[
-            pl.BlockSpec((1, wr, ROW),
-                         lambda b, t, widx, *_: (b, widx[b, t], 0)),
-            pl.BlockSpec((1, wr, ROW),
-                         lambda b, t, widx, *_: (b, widx[b, t] + 1, 0)),
+            pl.BlockSpec((1, 1, wr, ROW),
+                         lambda b, t, widx, *_: (b, widx[b, t], 0, 0)),
+            pl.BlockSpec((1, 1, wr, ROW),
+                         lambda b, t, widx, *_: (b, widx[b, t] + 1, 0, 0)),
             pl.BlockSpec((1, LR, ROW), lambda b, t, *_: (b, 0, 0)),
             pl.BlockSpec((ROW, ROW), lambda b, t, *_: (0, 0)),
         ],
@@ -315,7 +317,7 @@ def decode_columns_device(sym, count, lit_len, lits, n_cmds, n_lits,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, R, ROW), jnp.uint8),
         interpret=interpret,
-    )(widx, carry, lit0, block_len, ev_rows, ev_rows, lits3, tri)
+    )(widx, carry, lit0, block_len, ev4, ev4, lits3, tri)
     return out.reshape(nb, B)
 
 

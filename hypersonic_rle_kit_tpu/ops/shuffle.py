@@ -107,14 +107,13 @@ def inclusive_cummax_tile(x: jnp.ndarray, roll=_jroll) -> jnp.ndarray:
     if R == 1:
         return s
     row_tot = s[..., -1:]
-    acc = jnp.full_like(row_tot, low)
+    acc = row_tot                       # inclusive max-scan of row maxima
     row = jax.lax.broadcasted_iota(jnp.int32, row_tot.shape, row_tot.ndim - 2)
-    carry = jnp.where(row >= 1, roll(row_tot, 1, x.ndim - 2), low)
-    acc = carry
-    for b in range(1, max(1, (R - 1).bit_length())):
+    for b in range(max(1, (R - 1).bit_length())):
         sh = roll(acc, 1 << b, x.ndim - 2)
         acc = jnp.maximum(acc, jnp.where(row >= (1 << b), sh, low))
-    return jnp.maximum(s, acc)
+    excl = jnp.where(row >= 1, roll(acc, 1, x.ndim - 2), low)
+    return jnp.maximum(s, excl)
 
 
 def suffix_min_tile(x: jnp.ndarray, roll=_jroll) -> jnp.ndarray:
@@ -155,19 +154,19 @@ def flat_compact(cols, keep: jnp.ndarray, roll=_jroll):
            * LANES
            + jax.lax.broadcasted_iota(jnp.int32, keep.shape, keep.ndim - 1))
     d = exclusive_cumsum_tile((~keep).astype(jnp.int32), roll)
-    live = keep
-    cols = list(cols)
+    live = keep.astype(jnp.int32)       # masks roll as i32 (Mosaic has no
+    cols = list(cols)                   # sub-32-bit rotate)
     for b in range(max(1, (n - 1).bit_length())):
         s = 1 << b
         in_range = pos < n - s
-        sl = flat_roll(live, -s, roll) & in_range
+        sl = (flat_roll(live, -s, roll) == 1) & in_range
         sd = flat_roll(d, -s, roll)
         take = sl & ((sd >> b) & 1 == 1)
-        stay = live & ((d >> b) & 1 == 0)
-        live = take | stay
+        stay = (live == 1) & ((d >> b) & 1 == 0)
+        live = (take | stay).astype(jnp.int32)
         d = jnp.where(take, sd, d)
         cols = [jnp.where(take, flat_roll(c, -s, roll), c) for c in cols]
-    return cols, live
+    return cols, live == 1
 
 
 def forward_fill_tile(x: jnp.ndarray, valid: jnp.ndarray, roll=_jroll):
@@ -182,13 +181,14 @@ def forward_fill_tile(x: jnp.ndarray, valid: jnp.ndarray, roll=_jroll):
     n = R * LANES
     pos = (jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2) * LANES
            + jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1))
-    b = 0
+    v = valid.astype(jnp.int32)         # masks roll as i32 (Mosaic has no
+    b = 0                               # sub-32-bit rotate)
     while (1 << b) < n:
         s = 1 << b
         cx = flat_roll(x, s, roll)
-        cv = flat_roll(valid, s, roll) & (pos >= s)  # don't wrap at the start
-        take = ~valid & cv
+        cv = (flat_roll(v, s, roll) == 1) & (pos >= s)  # no wrap at start
+        take = (v == 0) & cv
         x = jnp.where(take, cx, x)
-        valid = valid | cv
+        v = jnp.maximum(v, cv.astype(jnp.int32))
         b += 1
-    return x, valid
+    return x, v == 1

@@ -1,0 +1,136 @@
+"""Decode kernel v5 (sorted-event supertile decode) vs the host golden.
+
+Interpret-mode on CPU; the compiled path is exercised by the TPU lane
+(test_tpu_compiled.py) and bench.py on hardware.
+"""
+
+import numpy as np
+import pytest
+
+from hypersonic_rle_kit_tpu.ops import decode_sup, planar
+
+B = 4096  # one supertile per block at sup=4096; multi-sup covered below
+
+
+def _cols(blocks, lens, B, min_count=6):
+    cap = planar.capacity_for(B, min_count)
+    outs = [planar.host_encode_block(blocks[b][: lens[b]], cap, B, min_count)
+            for b in range(len(blocks))]
+    return ([np.stack([o[i] for o in outs]) for i in range(4)]
+            + [np.array([o[i] for o in outs], np.int32) for i in (4, 5)])
+
+
+def _roundtrip(blocks, lens, B, sup=None, **kw):
+    blocks = np.stack(blocks)
+    lens = np.asarray(lens, np.int32)
+    cols = _cols(blocks, lens, B)
+    kw.setdefault("interpret", True)
+    if sup is not None:
+        kw["sup"] = sup
+    out = np.asarray(decode_sup.decode_planar_sup(
+        *cols, lens, block_size=B, **kw))
+    want = blocks.copy()
+    for b in range(len(lens)):
+        want[b, lens[b]:] = 0
+    np.testing.assert_array_equal(out, want)
+
+
+@pytest.mark.parametrize("p_zero", [0.0, 0.5, 0.85, 0.99])
+def test_random_densities(p_zero):
+    rng = np.random.default_rng(int(p_zero * 100))
+    data = rng.integers(-4, 5, (3, B)).astype(np.int8).astype(np.uint8)
+    data[rng.random(data.shape) < p_zero] = 0
+    lens = np.array([B, B, B - 777])
+    data[2, lens[2]:] = 0
+    _roundtrip(list(data), lens, B)
+
+
+def test_multi_supertile_block():
+    rng = np.random.default_rng(0)
+    BB = 16384
+    data = rng.integers(0, 3, (2, BB)).astype(np.uint8)
+    data[:, ::2] = 0
+    _roundtrip(list(data), [BB, BB - 5], BB)
+
+
+def test_small_sup():
+    rng = np.random.default_rng(1)
+    BB = 2048
+    data = rng.integers(0, 3, (2, BB)).astype(np.uint8)
+    _roundtrip(list(data), [BB, BB], BB, sup=512)
+
+
+@pytest.mark.parametrize("case", [
+    "whole_run", "run_ends_at_bnd", "run_starts_at_bnd", "adjacent_runs",
+    "empty", "tiny", "dense_min_runs", "tail_run"])
+def test_edges(case):
+    BB = 8192
+    d = np.zeros(BB, np.uint8)
+    n = BB
+    if case == "whole_run":
+        d[:] = 7
+    elif case == "run_ends_at_bnd":
+        d[:4096] = 9
+        d[4096:4100] = [1, 2, 3, 4]
+    elif case == "run_starts_at_bnd":
+        d[:] = np.arange(BB) & 0xFF
+        d[4096:6000] = 5
+    elif case == "adjacent_runs":
+        d[:100] = 3
+        d[100:200] = 4
+    elif case == "empty":
+        n = 0
+    elif case == "tiny":
+        d[:5] = [9, 8, 7, 6, 5]
+        n = 5
+    elif case == "dense_min_runs":
+        d[:] = np.repeat(np.arange(BB // 6 + 1) % 251, 6)[:BB]
+    elif case == "tail_run":
+        n = BB - 1000
+    _roundtrip([d], [n], BB)
+
+
+def test_mid_stream_zero_count_commands():
+    """count==0 commands mid-stream (possible in crafted containers) decode
+    as pure-literal commands rather than corrupting the stream."""
+    BB = 4096
+    cap = 256
+    sym = np.zeros((1, cap), np.uint8)
+    count = np.zeros((1, cap), np.int32)
+    lit_len = np.zeros((1, cap), np.int32)
+    lits = np.zeros((1, BB), np.uint8)
+    # cmd0: 4 lits + run of 10 'A'; cmd1: 3 lits, count 0; cmd2: tail lits
+    lits[0, :12] = np.arange(1, 13)
+    sym[0, 0] = 65
+    count[0, 0] = 10
+    lit_len[0, :3] = [4, 3, 5]
+    n_cmds = np.array([3], np.int32)
+    n_lits = np.array([12], np.int32)
+    blen = np.array([22], np.int32)
+    out = np.asarray(decode_sup.decode_planar_sup(
+        sym, count, lit_len, lits, n_cmds, n_lits, blen,
+        block_size=BB, interpret=True))
+    want = np.zeros(BB, np.uint8)
+    want[:4] = [1, 2, 3, 4]
+    want[4:14] = 65
+    want[14:17] = [5, 6, 7]
+    want[17:22] = [8, 9, 10, 11, 12]
+    np.testing.assert_array_equal(out[0], want)
+
+
+def test_wr_bucket_sufficiency():
+    """The largest window bucket covers the worst legal density for the
+    8-bit family (min_count 6)."""
+    worst = 2 * (decode_sup.DEFAULT_SUP // 6 + 2)
+    assert decode_sup.pick_wr(worst) is not None
+
+
+def test_block_size_guard():
+    with pytest.raises(AssertionError):
+        decode_sup.decode_columns_device(
+            np.zeros((1, 128), np.uint8), np.zeros((1, 128), np.int32),
+            np.zeros((1, 128), np.int32),
+            np.zeros((1, decode_sup.MAX_BLOCK * 2), np.uint8),
+            np.ones(1, np.int32), np.zeros(1, np.int32),
+            np.zeros(1, np.int32),
+            block_size=decode_sup.MAX_BLOCK * 2, interpret=True)

@@ -113,3 +113,19 @@ def test_forward_fill_batched():
             if vf[p]:
                 last = xf[p]
             assert got[b].reshape(-1)[p] == last
+
+
+def test_cummax_spike_rows():
+    """Regression: row-carry of the max-scan must cover every earlier row
+    (a shift-pattern bug once missed even row distances)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from hypersonic_rle_kit_tpu.ops import shuffle
+    rng = np.random.default_rng(42)
+    for R in (4, 16, 32):
+        for _ in range(4):
+            x = np.full((R, 128), -1, np.int32)
+            x[rng.integers(R), rng.integers(128)] = 999
+            got = np.asarray(shuffle.inclusive_cummax_tile(jnp.asarray(x)))
+            np.testing.assert_array_equal(
+                got.reshape(-1), np.maximum.accumulate(x.reshape(-1)))
