@@ -1,23 +1,31 @@
 #!/usr/bin/env python3
 """Benchmark harness: one JSON line on stdout with the headline metric.
 
-Headline: 8-bit RLE block-parallel decode throughput on the accelerator
-(the Pallas delta-paint kernel, ops/decode_planes.py), vs the reference's
-published single-thread x86 number on video_frame.raw (25,830.4 MiB/s decode,
-README.md:28 => 27.086 GB/s decimal).
+Headline: 8-bit RLE decode throughput, HRT1 compressed columns (HBM) ->
+decoded bytes (HBM), on one chip.  The device reads O(compressed) input
+only -- planar command columns exactly as deserialized from the container
+-- and the jit includes the on-device event-stream prep (ops/decode_sup.py),
+so compression ratio buys real HBM bandwidth, like the reference decoder
+that touches only compressed bytes (rle8_extreme_cpu.h:1825-1913).
+Baseline: the reference's published single-thread x86 number on
+video_frame.raw (25,830.4 MiB/s decode, README.md:28 => 27.086 GB/s).
+
+Also reported in the same JSON object (and as stderr lines):
+  encode_kernel_gbps   device bytes (HBM) -> planar commands (Pallas encode)
+  host_unpack_gbps     blob -> planar columns (C++ threaded unpack)
+  h2d_gbps             device_put of the compressed columns over the link
+  decode_e2e_gbps      blob on host -> decoded bytes in HBM (unpack+H2D+kernel)
+  encode_host_gbps     C++ AVX2 host encoder (bytes -> planar)
+  ratio                HRT1 compressed ratio on the synthetic dataset
 
 The dataset is synthesized to match the reference dataset's statistics
-(quantized video-frame DCTs: ~83% zeros in runs, small coefficients); the
-real file is not redistributable.  The reference's 8-bit codec reaches a
-19.34% ratio on the real file; the synthetic stream's ratio is reported on
-stderr for comparison.
+(quantized video-frame DCTs); the real file is not redistributable.
 
 Timing notes: this environment reaches its TPU through a tunnel whose
-`block_until_ready` does not reliably block and whose device-to-host path can
-wedge; every timed iteration therefore forces completion by fetching a
-1-element slice, the fetch overhead is calibrated out, and the whole device
-phase runs under a watchdog thread.  If the device is unreachable the bench
-falls back to the native host decoder's throughput and says so.
+`block_until_ready` does not reliably block and whose device-to-host path
+can wedge; every timed sample therefore chains dispatches and forces
+completion by fetching a 1-element slice, the fetch overhead is calibrated
+out, and the device phase runs in a fresh subprocess under a watchdog.
 """
 
 from __future__ import annotations
@@ -45,7 +53,7 @@ def log(*a):
 def make_dataset(mib: int, seed: int = 42) -> np.ndarray:
     """DCT-like 64-byte blocks: a short nonzero coefficient prefix, zeros
     after; a few dense "detail" blocks.  Calibrated so the 8-bit reference
-    codec lands at ~19.3% — the ratio it achieves on the real file."""
+    codec lands at ~19.3% -- the ratio it achieves on the real file."""
     n = mib << 20
     rng = np.random.default_rng(seed)
     nblk = n // 64
@@ -57,20 +65,23 @@ def make_dataset(mib: int, seed: int = 42) -> np.ndarray:
     return np.where(mask, vals, 0).astype(np.uint8).reshape(-1)
 
 
-def emit(value_gbps: float, note: str = ""):
+def emit(value_gbps: float, extra: dict | None = None, note: str = ""):
     if note:
         log(f"NOTE: {note}")
-    print(json.dumps({
-        "metric": "rle8_block_decode_throughput",
+    out = {
+        "metric": "rle8_device_decode_compressed_input",
         "value": round(value_gbps, 3),
         "unit": "GB/s",
         "vs_baseline": round(value_gbps / BASELINE_DECODE_GBPS, 4),
-    }))
+    }
+    for k, v in (extra or {}).items():
+        out[k] = round(v, 4) if isinstance(v, float) else v
+    print(json.dumps(out))
 
 
 def host_fallback_gbps(data: np.ndarray, block: int = 1 << 16) -> float:
     """Native C++ threaded block decoder throughput (planar commands ->
-    bytes, csrc decode_planar_batch) — the host runtime's decode path."""
+    bytes, csrc decode_planar_batch) -- the host runtime's decode path."""
     from hypersonic_rle_kit_tpu.ops import planar
     from hypersonic_rle_kit_tpu.utils import native
     if native.lib() is None:
@@ -89,12 +100,24 @@ def host_fallback_gbps(data: np.ndarray, block: int = 1 << 16) -> float:
     return best
 
 
+def _timed_chain(dispatch, sync, iters, chain, fetch):
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        for _ in range(chain):
+            r = dispatch()
+        sync(r)
+        times.append((time.perf_counter() - t0 - fetch) / chain)
+    return float(np.median(times))
+
+
 def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
     import jax
     import jax.numpy as jnp
-    from hypersonic_rle_kit_tpu.ops import decode_planes as dp, planar
-    from hypersonic_rle_kit_tpu.utils import native
+    from hypersonic_rle_kit_tpu import api
+    from hypersonic_rle_kit_tpu.ops import decode_sup, encode_sup, planar
     from hypersonic_rle_kit_tpu.parallel import container
+    from hypersonic_rle_kit_tpu.utils import native
 
     n = data.size
     nb = n // block
@@ -104,68 +127,118 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
     cap = planar.capacity_for(block, 6)
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
+    # --- host encode (C++) + container, measured ---
     t0 = time.perf_counter()
     cols = native.planar_from_bytes(x, lens, cap)
-    log(f"host planar encode: {n / (time.perf_counter() - t0) / 1e9:.2f} GB/s")
-    t0 = time.perf_counter()
-    delta = native.fused_delta_from_planar(cols[0], cols[1], cols[2],
-                                           cols[3], cols[4])
-    if delta is None:
-        delta = dp.fused_delta_from_planar_np(cols[0], cols[1], cols[2],
-                                              cols[3], cols[4])
-    planes = [delta]
-    log(f"host planes prep: {n / (time.perf_counter() - t0) / 1e9:.2f} GB/s")
-
-    blob = container.serialize_blocks(0, n, block, 6, cols[0], cols[1],
-                                      cols[2], cols[3], cols[4], cols[5])
+    enc_host = n / (time.perf_counter() - t0) / 1e9
+    results["encode_host_gbps"] = enc_host
+    log(f"host planar encode (C++): {enc_host:.2f} GB/s")
+    blob = container.serialize_blocks(0, n, block, 6, *cols)
     results["ratio"] = len(blob) / n
     log(f"HRT1 ratio: {100 * results['ratio']:.2f}% "
         f"(reference 8-bit on the real video_frame.raw: 19.34%)")
 
-    dev_in = [jax.device_put(jnp.asarray(v)) for v in planes]
+    # --- host unpack (C++), measured: blob -> planar columns ---
     t0 = time.perf_counter()
-    out = dp.decode_fused_device(*dev_in)
-    _ = np.asarray(out[0, :1])
-    log(f"kernel compile+first run: {time.perf_counter() - t0:.1f}s")
+    info, pcols = container.deserialize_to_planar(blob)
+    unpack = n / (time.perf_counter() - t0) / 1e9
+    results["host_unpack_gbps"] = unpack
+    log(f"host container unpack (C++): {unpack:.2f} GB/s")
+    sym, count, lit_len, lits, n_cmds, n_lits, block_len = pcols
+    csize = (sym.nbytes + count.nbytes + lit_len.nbytes
+             + int(n_lits.sum()) + n_cmds.nbytes * 2 + block_len.nbytes)
 
+    # trim the padded capacity to what the data needs (power-of-two rows)
+    used = int(n_cmds.max())
+    cap_used = max(128, 1 << (used - 1).bit_length())
+    if cap_used < sym.shape[1]:
+        sym, count, lit_len = (a[:, :cap_used] for a in
+                               (sym, count, lit_len))
+
+    # --- H2D, measured ---
+    t0 = time.perf_counter()
+    dev = [jax.device_put(jnp.asarray(v)) for v in
+           (sym, count, lit_len, lits, n_cmds, n_lits, block_len)]
+    _ = np.asarray(dev[0][:1, :1])
+    h2d = n / (time.perf_counter() - t0) / 1e9
+    results["h2d_gbps"] = h2d
+    log(f"H2D (columns, {csize >> 20} MiB): {h2d:.2f} GB/s of decoded size")
+
+    # --- decode kernel: compressed columns (HBM) -> bytes (HBM) ---
+    mx = int(decode_sup.max_events_per_sup(dev[1], dev[2], dev[4],
+                                           block_size=block))
+    wr = decode_sup.pick_wr(mx)
+    log(f"max events/supertile: {mx} -> window rows {wr}")
+
+    def dec():
+        return decode_sup.decode_columns_device(
+            *dev, block_size=block, wr=wr)
+
+    t0 = time.perf_counter()
+    out = dec()
+    _ = np.asarray(out[0, :1])
+    log(f"decode kernel compile+first run: {time.perf_counter() - t0:.1f}s")
     xd = jax.device_put(jnp.asarray(x))
     ok = bool(np.asarray(jax.jit(lambda a, b: jnp.all(a == b))(out, xd)))
-    log(f"device roundtrip: {ok}")
+    log(f"device decode roundtrip: {ok}")
     results["ok"] = ok
 
-    # the decode itself is far faster than one host<->device round trip over
-    # this tunnel (~30 ms), so: replicate the planes on-device to a ~512 MiB
-    # output working set, chain several dispatches per timed sample, and
-    # calibrate the fetch out.
-    rep = max(1, (512 << 20) // n)
-    big = [jnp.concatenate([v] * rep) if rep > 1 else v for v in dev_in]
-    nbig = n * rep
-    out = dp.decode_fused_device(*big)
-    _ = np.asarray(out[0, :1])          # compile + warm
     t0 = time.perf_counter()
     for _ in range(4):
         _ = np.asarray(out[0, :1])
     fetch = (time.perf_counter() - t0) / 4
-    log(f"fetch overhead: {fetch * 1e3:.2f} ms; working set {nbig >> 20} MiB")
+    log(f"fetch overhead: {fetch * 1e3:.2f} ms")
 
-    chain = 16
-    times = []
-    for _ in range(iters):
+    chain = 8
+    dec_t = _timed_chain(dec, lambda r: np.asarray(r[0, :1]), iters, chain,
+                         fetch)
+    results["gbps"] = n / dec_t / 1e9
+    log(f"decode (compressed HBM -> bytes HBM): {dec_t * 1e3:.2f} ms = "
+        f"{results['gbps']:.2f} GB/s  (reference x86: "
+        f"{BASELINE_DECODE_GBPS} GB/s)")
+
+    # --- e2e: blob on host -> bytes in HBM ---
+    t0 = time.perf_counter()
+    _, pc2 = container.deserialize_to_planar(blob)
+    d2 = [jax.device_put(jnp.asarray(v)) for v in
+          (pc2[0][:, :cap_used], pc2[1][:, :cap_used], pc2[2][:, :cap_used],
+           pc2[3], pc2[4], pc2[5], pc2[6])]
+    out2 = decode_sup.decode_columns_device(*d2, block_size=block, wr=wr)
+    _ = np.asarray(out2[0, :1])
+    e2e = n / (time.perf_counter() - t0 - fetch) / 1e9
+    results["decode_e2e_gbps"] = e2e
+    log(f"decode e2e (blob -> HBM bytes incl. unpack+H2D): {e2e:.2f} GB/s")
+
+    # --- encode kernel: bytes (HBM) -> planar commands ---
+    try:
+        def enc():
+            return encode_sup.encode_blocks_kernel(
+                xd, jnp.asarray(lens), capacity=cap, min_count=6)
+
         t0 = time.perf_counter()
-        for _ in range(chain):
-            out = dp.decode_fused_device(*big)
-        _ = np.asarray(out[0, :1])
-        times.append((time.perf_counter() - t0 - fetch) / chain)
-    dec_t = float(np.median(times))
-    results["gbps"] = nbig / dec_t / 1e9
-    log(f"device decode: {dec_t * 1e3:.2f} ms = {results['gbps']:.2f} GB/s "
-        f"(reference x86: {BASELINE_DECODE_GBPS} GB/s)")
+        e = enc()
+        _ = np.asarray(e[0][:1, :1])
+        log(f"encode kernel compile+first run: {time.perf_counter()-t0:.1f}s")
+        eok = all(np.array_equal(np.asarray(e[i]), cols[i])
+                  for i in (0, 1, 2, 4, 5))
+        log(f"device encode matches host encoder: {eok}")
+        enc_t = _timed_chain(enc, lambda r: np.asarray(r[0][:1, :1]), iters,
+                             4, fetch)
+        results["encode_kernel_gbps"] = n / enc_t / 1e9 if eok else 0.0
+        log(f"encode (bytes HBM -> commands): {enc_t * 1e3:.2f} ms = "
+            f"{results['encode_kernel_gbps']:.2f} GB/s  (reference x86: "
+            f"{BASELINE_ENCODE_GBPS} GB/s)")
+    except Exception as exc:  # encode metric is reported, never fatal
+        log(f"encode kernel phase failed: {exc!r}")
+        results["encode_kernel_gbps"] = 0.0
+
     results["done"] = True
 
 
 def run_device_phase(data: np.ndarray, args) -> dict:
     """One device-phase attempt inside this process, under a watchdog
-    thread (the tunnel can wedge inside a fetch, which is not interruptible)."""
+    thread (the tunnel can wedge inside a fetch, which is not
+    interruptible)."""
     results: dict = {"done": False, "ok": False, "gbps": 0.0}
     t = threading.Thread(target=device_bench,
                          args=(data, args.block, args.iters, results),
@@ -189,7 +262,7 @@ def main():
                     help="internal: run one device attempt, dump results")
     args = ap.parse_args()
     if args.quick:
-        args.mib, args.iters, args.timeout = 8, 3, 180.0
+        args.mib, args.iters, args.timeout = 8, 3, 240.0
 
     data = make_dataset(args.mib)
     from hypersonic_rle_kit_tpu.utils import native
@@ -226,8 +299,11 @@ def main():
         log(f"device attempt {attempt + 1}/{args.attempts}: "
             f"done={results.get('done')} ok={results.get('ok')}")
 
+    extra_keys = ("encode_kernel_gbps", "host_unpack_gbps", "h2d_gbps",
+                  "decode_e2e_gbps", "encode_host_gbps", "ratio")
     if results.get("done") and results.get("ok"):
-        emit(results["gbps"])
+        emit(results["gbps"],
+             {k: results[k] for k in extra_keys if k in results})
         return
     note = ("device phase unavailable (TPU tunnel unreachable); reporting "
             "the native threaded host block decoder instead"
@@ -235,7 +311,7 @@ def main():
             else "device roundtrip FAILED; reporting 0")
     gbps = host_fallback_gbps(data[: 32 << 20]) if not results.get("done") \
         else 0.0
-    emit(gbps, note)
+    emit(gbps, {"fallback": "host"}, note)
 
 
 if __name__ == "__main__":

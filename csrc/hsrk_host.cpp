@@ -481,4 +481,68 @@ uint32_t hsrk_rle8_decompress(const uint8_t *in, uint32_t in_size,
   return usize;
 }
 
+// ---------------------------------------------------------------------------
+// HRT1 container payload -> padded planar columns (decode host prep).
+// Layout per block (parallel/container.py): bitpacked (count - min_count)
+// for n_runs commands | bitpacked lit_len for n_cmds commands | run symbols
+// (n_runs bytes) | literal bytes (n_lits).  Threaded over blocks.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// little-endian w-bit fields starting at src; caller guarantees the source
+// region holds ceil(nfields*w/8) bytes and 8 bytes of readable slack are
+// provided via src_end clamping.
+inline void unpack_bits(const uint8_t *src, int64_t src_bytes, int64_t n,
+                        int32_t w, int32_t *dst, int32_t add) {
+  if (w == 0) {
+    for (int64_t i = 0; i < n; i++) dst[i] = add;
+    return;
+  }
+  const uint64_t mask = (w >= 64) ? ~0ull : ((1ull << w) - 1);
+  uint64_t bit = 0;
+  for (int64_t i = 0; i < n; i++, bit += (uint64_t)w) {
+    const int64_t byte = (int64_t)(bit >> 3);
+    uint64_t win = 0;
+    const int64_t take = std::min<int64_t>(8, src_bytes - byte);
+    if (take > 0) std::memcpy(&win, src + byte, (size_t)take);
+    dst[i] = (int32_t)((win >> (bit & 7)) & mask) + add;
+  }
+}
+
+}  // namespace
+
+int unpack_container_batch(
+    const uint8_t *payload, const int64_t *payload_off,
+    const int32_t *n_cmds, const int32_t *n_lits,
+    const int32_t *cnt_bits, const int32_t *lit_bits,
+    int64_t nb, int64_t cap, int64_t B, int32_t min_count,
+    uint8_t *sym, int32_t *count, int32_t *lit_len, uint8_t *lits) {
+  return parallel_blocks(nb, [&](int64_t b) -> int {
+    const int64_t nc = n_cmds[b], nl = n_lits[b];
+    const int64_t n_runs = nc - 1;
+    if (nc < 1 || nc > cap || nl < 0 || nl > B) return 1;
+    if (cnt_bits[b] < 0 || cnt_bits[b] > 32 || lit_bits[b] < 0 ||
+        lit_bits[b] > 32)
+      return 2;
+    const uint8_t *p = payload + payload_off[b];
+    const int64_t cnt_bytes = (cnt_bits[b] * n_runs + 7) / 8;
+    const int64_t lit_bytes = (lit_bits[b] * nc + 7) / 8;
+    unpack_bits(p, cnt_bytes, n_runs, cnt_bits[b],
+                count + b * cap, min_count);
+    std::memset(count + b * cap + n_runs, 0,
+                (size_t)(cap - n_runs) * sizeof(int32_t));
+    unpack_bits(p + cnt_bytes, lit_bytes, nc, lit_bits[b],
+                lit_len + b * cap, 0);
+    std::memset(lit_len + b * cap + nc, 0,
+                (size_t)(cap - nc) * sizeof(int32_t));
+    std::memset(sym + b * cap, 0, (size_t)cap);
+    std::memcpy(sym + b * cap, p + cnt_bytes + lit_bytes, (size_t)n_runs);
+    std::memset(lits + b * B, 0, (size_t)B);
+    std::memcpy(lits + b * B, p + cnt_bytes + lit_bytes + n_runs,
+                (size_t)nl);
+    return 0;
+  });
+}
+
 }  // extern "C"

@@ -33,6 +33,15 @@ MAGIC = 0x31545248  # 'HRT1'
 _HEADER = struct.Struct("<IBBHQII")
 _BLOCK = struct.Struct("<IIIBBBB")
 DEFAULT_BLOCK_SIZE = 1 << 16
+MAX_BLOCKS = 1 << 28
+
+
+class ContainerError(ValueError):
+    """Raised for structurally invalid or inconsistent HRT1 containers.
+
+    The reference validates header sizes before decoding
+    (rle8_extreme_cpu.h:707-712); HRT1 validates the whole table so hostile
+    input cannot drive the planar unpack out of bounds."""
 
 
 def _bitpack(vals: np.ndarray, width: int) -> bytes:
@@ -68,46 +77,88 @@ class ContainerInfo:
     min_count: int
 
 
+def block_payload(sym_b: np.ndarray, count_b: np.ndarray,
+                  lit_len_b: np.ndarray, lits_b: np.ndarray,
+                  nc: int, nl: int, min_count: int) -> tuple[bytes, bytes]:
+    """Serialize one block -> (table entry, payload bytes).  Shard-local:
+    multi-host encoders serialize only their own blocks with this and ship
+    payloads + table entries for ordered assembly (the multi-chip analog of
+    the rle8m offset table, rle8_low_entropy_cpu.c:126-191)."""
+    n_runs = nc - 1
+    cnts = count_b[:n_runs].astype(np.int64) - min_count
+    lls = lit_len_b[:nc].astype(np.int64)
+    cnt_bits = _width_for(int(cnts.max()) if n_runs else 0)
+    lit_bits = _width_for(int(lls.max()) if nc else 0)
+    payload = (_bitpack(cnts, cnt_bits) + _bitpack(lls, lit_bits)
+               + sym_b[:n_runs].tobytes() + lits_b[:nl].tobytes())
+    entry = _BLOCK.pack(len(payload), nc, nl, cnt_bits, lit_bits,
+                        min_count, 0)
+    return entry, payload
+
+
+def assemble(codec_index: int, uncompressed_size: int, block_size: int,
+             parts: list[tuple[bytes, bytes]]) -> bytes:
+    """Ordered assembly of per-block (table entry, payload) parts into one
+    container; ``parts`` must be in block order."""
+    head = _HEADER.pack(MAGIC, codec_index, 0, 0,
+                        uncompressed_size, block_size, len(parts))
+    return (head + b"".join(p[0] for p in parts)
+            + b"".join(p[1] for p in parts))
+
+
 def serialize_blocks(codec_index: int, uncompressed_size: int, block_size: int,
                      min_count: int,
                      sym: np.ndarray, count: np.ndarray, lit_len: np.ndarray,
                      lits: np.ndarray, n_cmds: np.ndarray,
                      n_lits: np.ndarray) -> bytes:
     """Serialize planar blocks (numpy views, shapes per ops/planar.py)."""
-    nb = sym.shape[0]
-    head = _HEADER.pack(MAGIC, codec_index, 0, 0,
-                        uncompressed_size, block_size, nb)
-    table = bytearray()
-    payloads = bytearray()
-    for b in range(nb):
-        nc = int(n_cmds[b])
-        nl = int(n_lits[b])
-        n_runs = nc - 1
-        cnts = count[b, :n_runs].astype(np.int64) - min_count
-        lls = lit_len[b, :nc].astype(np.int64)
-        cnt_bits = _width_for(int(cnts.max()) if n_runs else 0)
-        lit_bits = _width_for(int(lls.max()) if nc else 0)
-        payload = (_bitpack(cnts, cnt_bits) + _bitpack(lls, lit_bits)
-                   + sym[b, :n_runs].tobytes() + lits[b, :nl].tobytes())
-        table += _BLOCK.pack(len(payload), nc, nl, cnt_bits, lit_bits,
-                             min_count, 0)
-        payloads += payload
-    return head + bytes(table) + bytes(payloads)
+    parts = [block_payload(sym[b], count[b], lit_len[b], lits[b],
+                           int(n_cmds[b]), int(n_lits[b]), min_count)
+             for b in range(sym.shape[0])]
+    return assemble(codec_index, uncompressed_size, block_size, parts)
 
 
 def parse(buf: bytes) -> tuple[ContainerInfo, list[dict]]:
-    """Parse header + table; payload slices are returned lazily as memoryview
-    offsets so multi-host consumers can fetch only their shard."""
+    """Parse and validate header + table; payload slices are returned lazily
+    as memoryview offsets so multi-host consumers can fetch only their shard.
+
+    Raises :class:`ContainerError` on any structural inconsistency: short
+    buffer, implausible counts, bit widths over 32, or per-block payload
+    sizes that disagree with the fields they must contain.
+    """
+    if len(buf) < _HEADER.size:
+        raise ContainerError("truncated header")
     magic, codec, _flags, _rsv, usize, bsize, nb = _HEADER.unpack_from(buf, 0)
     if magic != MAGIC:
-        raise ValueError("not an HRT1 container")
+        raise ContainerError("not an HRT1 container")
+    if bsize <= 0 or nb < 0 or nb > MAX_BLOCKS:
+        raise ContainerError(f"implausible geometry: block_size={bsize} "
+                             f"n_blocks={nb}")
+    if usize > nb * bsize or (nb and usize <= (nb - 1) * bsize):
+        raise ContainerError(f"uncompressed size {usize} inconsistent with "
+                             f"{nb} x {bsize} blocks")
     off = _HEADER.size
+    if len(buf) < off + _BLOCK.size * nb:
+        raise ContainerError("truncated block table")
     blocks = []
     payload_off = off + _BLOCK.size * nb
     min_count = 6
     for b in range(nb):
         pbytes, nc, nl, cnt_bits, lit_bits, min_count, _ = _BLOCK.unpack_from(
             buf, off + b * _BLOCK.size)
+        if nc < 1 or nc > bsize + 1:
+            raise ContainerError(f"block {b}: n_cmds {nc} out of range")
+        if nl > bsize:
+            raise ContainerError(f"block {b}: n_lits {nl} > block size")
+        if cnt_bits > 32 or lit_bits > 32:
+            raise ContainerError(f"block {b}: bit width > 32")
+        expect = ((cnt_bits * (nc - 1) + 7) // 8 + (lit_bits * nc + 7) // 8
+                  + (nc - 1) + nl)
+        if pbytes != expect:
+            raise ContainerError(f"block {b}: payload {pbytes} bytes, "
+                                 f"fields need {expect}")
+        if payload_off + pbytes > len(buf):
+            raise ContainerError(f"block {b}: payload past end of buffer")
         blocks.append(dict(payload_off=payload_off, payload_bytes=pbytes,
                            n_cmds=nc, n_lits=nl, cnt_bits=cnt_bits,
                            lit_bits=lit_bits))
@@ -124,6 +175,22 @@ def deserialize_to_planar(buf: bytes, capacity: int | None = None):
     if capacity is None:
         cap = max((bl["n_cmds"] for bl in blocks), default=1)
         capacity = (cap + 127) // 128 * 128
+    n_cmds = np.array([bl["n_cmds"] for bl in blocks], np.int32)
+    n_lits = np.array([bl["n_lits"] for bl in blocks], np.int32)
+    block_len = np.full(nb, B, np.int32)
+    if nb:
+        block_len[-1] = info.uncompressed_size - (nb - 1) * B
+    if nb:
+        from ..utils import native
+        cols = native.unpack_container(
+            np.frombuffer(buf, np.uint8),
+            np.array([bl["payload_off"] for bl in blocks], np.int64),
+            n_cmds, n_lits,
+            np.array([bl["cnt_bits"] for bl in blocks], np.int32),
+            np.array([bl["lit_bits"] for bl in blocks], np.int32),
+            capacity, B, info.min_count)
+        if cols is not None:
+            return info, (*cols, n_cmds, n_lits, block_len)
     sym = np.zeros((nb, capacity), np.uint8)
     count = np.zeros((nb, capacity), np.int32)
     lit_len = np.zeros((nb, capacity), np.int32)

@@ -83,36 +83,60 @@ def pipeline_step(x, block_len, *, capacity: int, min_count: int, mesh: Mesh):
 
 @functools.partial(jax.jit, static_argnames=("capacity", "min_count", "mesh"))
 def encode_sharded(x, block_len, *, capacity: int, min_count: int, mesh: Mesh):
-    """Sharded encode with ordered reassembly of the global command table.
+    """Sharded encode with a sizes-only exchange.
 
-    Each device encodes its shard of the block axis, then the planar columns
-    are `all_gather`ed in block order (tiled => ordered concatenation along
-    the block axis) together with the per-block serialized payload sizes.
-    Every device ends up holding the full ordered table — the multi-chip
-    generalization of the reference's rle8m u32 offset table
-    (rle8_low_entropy_cpu.c:126-191).  Returns (PlanarBlocks, sizes, offsets)
-    replicated; serializing the gathered columns yields bytes identical to a
-    single-device encode.
+    Each device encodes its shard of the block axis and **keeps its planar
+    columns local** (returned still sharded over the mesh); only the
+    per-block serialized sizes — a few bytes per block — cross the
+    interconnect (`all_gather`), and every device derives the global offset
+    table from them.  This is the multi-chip generalization of the
+    reference's rle8m u32 offset table (rle8_low_entropy_cpu.c:126-191):
+    O(n_blocks) metadata moves, never the O(total-stream) column data.
+    Returns (PlanarBlocks sharded P(blocks), sizes, offsets) with the size
+    and offset tables replicated.
     """
 
     def local(xs, ls):
         pb, size = _encode_local(xs, ls, capacity=capacity,
                                  min_count=min_count)
-        gath = jax.tree.map(
-            lambda a: jax.lax.all_gather(a, BLOCK_AXIS, tiled=True), pb)
         all_sizes = jax.lax.all_gather(size, BLOCK_AXIS, tiled=True)
         offsets = jnp.cumsum(all_sizes) - all_sizes
-        return gath, all_sizes, offsets
+        return pb, all_sizes, offsets
 
     return jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
-        out_specs=(jax.tree.map(lambda _: P(), PlanarBlocks(
+        out_specs=(jax.tree.map(lambda _: P(BLOCK_AXIS), PlanarBlocks(
             *[0] * 7)), P(), P()),
-        # outputs are tiled all_gathers => replicated by construction; the
-        # static varying-axes checker cannot infer that
+        # size/offset tables are tiled all_gathers => replicated by
+        # construction; the static varying-axes checker cannot infer that
         check_vma=False,
     )(x, block_len)
+
+
+def serialize_local_blocks(pb, min_count: int = 6) -> dict[int, tuple]:
+    """Serialize only the blocks addressable on this process.
+
+    Returns ``{block_index: (table_entry, payload_bytes)}`` — each host
+    ships its parts plus indices out of band (files, an object store, DCN),
+    and :func:`hypersonic_rle_kit_tpu.parallel.container.assemble` stitches
+    them in block order.  This is the multi-host serialization path: column
+    data never crosses hosts through the mesh.
+    """
+    import numpy as np
+    from . import container
+
+    cols = (pb.sym, pb.count, pb.lit_len, pb.lits, pb.n_cmds, pb.n_lits)
+    shard_sets = [c.addressable_shards for c in cols]
+    parts: dict[int, tuple] = {}
+    for shards in zip(*shard_sets):
+        b0 = shards[0].index[0].start or 0
+        arrs = [np.asarray(s.data) for s in shards]
+        for j in range(arrs[0].shape[0]):
+            parts[b0 + j] = container.block_payload(
+                arrs[0][j], arrs[1][j], arrs[2][j], arrs[3][j],
+                int(arrs[4][j]), int(arrs[5][j]), min_count)
+    return parts
 
 
 def compress_distributed(data, mesh: Mesh, *,
@@ -152,8 +176,13 @@ def compress_distributed(data, mesh: Mesh, *,
                                       *cols)
 
 
-def initialize_multihost(coordinator: str | None = None) -> None:
+def initialize_multihost(coordinator: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
     """Multi-host runtime init (`jax.distributed.initialize`); DCN only
-    carries the size exchange and the final ordered concatenation."""
-    if jax.process_count() > 1 or coordinator is not None:
-        jax.distributed.initialize(coordinator_address=coordinator)
+    carries the size exchange and the final ordered concatenation.
+    Exercised by tests/test_multiprocess.py on a 2-process CPU mesh."""
+    if coordinator is not None or jax.process_count() > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)

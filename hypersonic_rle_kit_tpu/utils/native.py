@@ -54,6 +54,7 @@ def lib():
     L.fused_delta_from_planar.restype = ctypes.c_int
     L.hsrk_rle8_compress.restype = ctypes.c_uint32
     L.hsrk_rle8_decompress.restype = ctypes.c_uint32
+    L.unpack_container_batch.restype = ctypes.c_int
     _lib = L
     return _lib
 
@@ -192,6 +193,36 @@ def decode_planar(sym, count, lit_len, lits, n_cmds, block_len):
     if rc != 0:
         raise RuntimeError(f"decode_planar_batch failed rc={rc}")
     return out
+
+
+def unpack_container(payload: np.ndarray, payload_off, n_cmds, n_lits,
+                     cnt_bits, lit_bits, cap: int, B: int, min_count: int):
+    """Native HRT1 payload -> padded planar columns; None if the library is
+    unavailable.  ``payload`` is the raw container bytes as uint8; offsets
+    are absolute into it.  Caller validates sizes (container.parse)."""
+    L = lib()
+    if L is None:
+        return None
+    nb = len(n_cmds)
+    sym = np.empty((nb, cap), np.uint8)
+    count = np.empty((nb, cap), np.int32)
+    lit_len = np.empty((nb, cap), np.int32)
+    lits = np.empty((nb, B), np.uint8)
+    args = [np.ascontiguousarray(payload, np.uint8),
+            np.ascontiguousarray(payload_off, np.int64),
+            np.ascontiguousarray(n_cmds, np.int32),
+            np.ascontiguousarray(n_lits, np.int32),
+            np.ascontiguousarray(cnt_bits, np.int32),
+            np.ascontiguousarray(lit_bits, np.int32)]
+    rc = L.unpack_container_batch(
+        _ptr(args[0]), _ptr(args[1]), _ptr(args[2]), _ptr(args[3]),
+        _ptr(args[4]), _ptr(args[5]),
+        ctypes.c_int64(nb), ctypes.c_int64(cap), ctypes.c_int64(B),
+        ctypes.c_int32(min_count), _ptr(sym), _ptr(count), _ptr(lit_len),
+        _ptr(lits))
+    if rc != 0:
+        raise RuntimeError(f"unpack_container_batch rc={rc}")
+    return sym, count, lit_len, lits
 
 
 def rle8_compress(data: bytes) -> bytes | None:

@@ -1,0 +1,65 @@
+"""HRT1 container validation: malformed input raises ContainerError
+(the analog of the reference's header checks, rle8_extreme_cpu.h:707-712)."""
+
+import numpy as np
+import pytest
+
+from hypersonic_rle_kit_tpu import api
+from hypersonic_rle_kit_tpu.parallel import container
+
+
+@pytest.fixture(scope="module")
+def blob():
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 4, 200_000, dtype=np.uint8)
+    data[rng.random(data.size) < 0.8] = 0
+    return api.compress(data.tobytes()), data.tobytes()
+
+
+def test_roundtrip(blob):
+    b, payload = blob
+    assert api.decompress(b, backend="device") == payload
+
+
+@pytest.mark.parametrize("mutate", [
+    "empty", "magic", "short_header", "short_table", "n_cmds", "n_lits",
+    "bit_width", "truncate_payload", "usize"])
+def test_malformed_raises(blob, mutate):
+    b, _ = blob
+    buf = bytearray(b)
+    if mutate == "empty":
+        buf = bytearray(b"HRT")
+    elif mutate == "magic":
+        buf[0] = 0
+    elif mutate == "short_header":
+        buf = buf[:10]
+    elif mutate == "short_table":
+        buf = buf[:container._HEADER.size + 3]
+    elif mutate == "n_cmds":
+        buf[container._HEADER.size + 4] ^= 0xFF
+    elif mutate == "n_lits":
+        buf[container._HEADER.size + 8] ^= 0xFF
+    elif mutate == "bit_width":
+        buf[container._HEADER.size + 12] = 60
+    elif mutate == "truncate_payload":
+        buf = buf[: len(buf) // 2]
+    elif mutate == "usize":
+        buf[8:16] = (1 << 50).to_bytes(8, "little")
+    with pytest.raises(container.ContainerError):
+        container.parse(bytes(buf))
+
+
+def test_native_numpy_unpack_agree(blob):
+    b, _ = blob
+    from hypersonic_rle_kit_tpu.utils import native
+    info, cols_a = container.deserialize_to_planar(b)
+    if native.lib() is None:
+        pytest.skip("native runtime unavailable")
+    real = native.unpack_container
+    try:
+        native.unpack_container = lambda *a, **k: None
+        _, cols_b = container.deserialize_to_planar(b)
+    finally:
+        native.unpack_container = real
+    for x, y in zip(cols_a, cols_b):
+        np.testing.assert_array_equal(x, y)
