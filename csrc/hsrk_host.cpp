@@ -294,8 +294,10 @@ int fused_delta_from_planar(
 int planar_from_bytes(
     const uint8_t *data, int64_t n, int64_t cap, int64_t B, int32_t min_count,
     uint8_t *sym, int32_t *count, int32_t *lit_len, uint8_t *lits,
-    int32_t *n_cmds, int32_t *n_lits) {
-  // single block of `n` bytes (n <= B); caller loops blocks
+    int32_t *n_cmds, int32_t *n_lits, int32_t only_sym) {
+  // single block of `n` bytes (n <= B); caller loops blocks.  only_sym < 0
+  // emits every qualifying run, else only runs of that byte (Single
+  // family, rle8_extreme_cpu.c:53-153).
   int64_t c = 0, nl = 0, last_end = 0;
   int64_t i = 0;
   while (i < n) {
@@ -303,6 +305,10 @@ int planar_from_bytes(
     if (i >= n) break;
     const uint8_t v = data[i];
     const int64_t j = run_end(data, i + min_count, n, v);
+    if (only_sym >= 0 && v != (uint8_t)only_sym) {  // stays in the literals
+      i = j;
+      continue;
+    }
     if (c >= cap - 1) return -2;
     sym[c] = v;
     count[c] = (int32_t)(j - i);
@@ -330,12 +336,12 @@ int planar_from_bytes_batch(
     const uint8_t *data, const int32_t *lens, int64_t nb, int64_t cap,
     int64_t B, int32_t min_count,
     uint8_t *sym, int32_t *count, int32_t *lit_len, uint8_t *lits,
-    int32_t *n_cmds, int32_t *n_lits) {
+    int32_t *n_cmds, int32_t *n_lits, const int32_t *only_sym) {
   return parallel_blocks(nb, [&](int64_t b) -> int {
     return planar_from_bytes(
         data + b * B, lens[b], cap, B, min_count, sym + b * cap,
         count + b * cap, lit_len + b * cap, lits + b * B, n_cmds + b,
-        n_lits + b);
+        n_lits + b, only_sym ? only_sym[b] : -1);
   });
 }
 

@@ -29,6 +29,78 @@ from .parallel import container
 _DEFAULT_MIN_COUNT = 6
 
 
+def hrt1_params(cspec: "spec_mod.CodecSpec"):
+    """Map a reference codec spec onto the HRT1 device pipeline's parameter
+    space: ``(width_bytes, default_block_size, min_count, single)``.
+
+    TPU-native re-design of the reference's macro matrix (SURVEY.md §1):
+    instead of five macro-instantiated SIMD codec copies per width
+    (rleX_extreme_cpu.c:4-64), *one* engine runs behind a per-codec
+    transform:
+
+    - **width** (16/24/32/48/64/128 bit, rleX/rle24/rle48/rle128): blocks
+      are de-interleaved into ``w`` byte lanes, so a run of w-byte symbols
+      becomes w contiguous byte runs and the stride-1 kernels apply
+      unchanged (the TPU analog of the reference's staggered broadcast
+      registers, rle24_extreme_cpu_decode.h:30-55).  Byte-aligned
+      ("(Byte)"/UNBOUND) and symbol-aligned variants both map here: the
+      per-lane view captures partial-symbol repetition a fortiori.
+    - **short / packed / greedy** change the command cost model: Short's
+      one-byte commands (rleX_Xsl_short.h:13-42) lower the profitable run
+      length, Packed's same-symbol elision (rle8_extreme_cpu.h:832-853)
+      sits between; HRT1 expresses this as the emission threshold
+      ``min_count`` because its bit-packed columns already adapt command
+      width per block.
+    - **single** (rle8_extreme_cpu.c:53-153): emission restricted to the
+      block's dominant byte; the symbol column then collapses.
+
+    Low-entropy / MMTF / SH families keep their own device paths
+    (ops/low_entropy_device.py, ops/mmtf_device.py); through HRT1 they
+    fall back to the base byte-lane engine.
+    """
+    F = spec_mod.Family
+    w = max(1, cspec.width // 8) if cspec.family in (
+        F.RLE8, F.RLEX, F.LUT, F.SHORT) else 1
+    if cspec.family is F.MEMCPY:
+        w = 1
+    block = 49152 if w in (3, 6) else container.DEFAULT_BLOCK_SIZE
+    if cspec.short or cspec.greedy:
+        min_count = 4
+    elif cspec.packed:
+        min_count = 5
+    else:
+        min_count = _DEFAULT_MIN_COUNT
+    return w, block, min_count, bool(cspec.single)
+
+
+def _deinterleave_block(row: np.ndarray, n: int, w: int) -> tuple[np.ndarray, int]:
+    """One padded block row -> byte-lane layout prefix of length
+    ceil(n/w)*w (rest zero), with the transformed valid length."""
+    B = row.shape[0]
+    bt = -(-n // w) * w
+    out = np.zeros(B, np.uint8)
+    out[:bt] = row[:bt].reshape(bt // w, w).T.reshape(-1)
+    return out, bt
+
+
+def _interleave_block(row: np.ndarray, n: int, w: int) -> np.ndarray:
+    """Inverse of :func:`_deinterleave_block`, trimmed to ``n`` bytes."""
+    bt = -(-n // w) * w
+    return row[:bt].reshape(w, bt // w).T.reshape(-1)[:n]
+
+
+def _deinterleave(x: np.ndarray, lens: np.ndarray, w: int):
+    """[nb, B] blocks + original lengths -> transformed blocks + lengths."""
+    if w == 1:
+        return x, lens
+    nb, B = x.shape
+    xt = x.reshape(nb, B // w, w).swapaxes(1, 2).reshape(nb, B)
+    tlens = (-(-lens.astype(np.int64) // w) * w).astype(np.int32)
+    for b in np.flatnonzero(lens != B):           # partial (tail) blocks
+        xt[b], tlens[b] = _deinterleave_block(x[b], int(lens[b]), w)
+    return xt, tlens
+
+
 def _as_bytes_array(data) -> np.ndarray:
     if isinstance(data, np.ndarray):
         return np.ascontiguousarray(data.reshape(-1).view(np.uint8))
@@ -54,9 +126,13 @@ def compress_bounds(in_size: int, block_size: int = container.DEFAULT_BLOCK_SIZE
 
 
 def compress(data, codec: str | int | spec_mod.CodecSpec = "8 Bit", *,
-             block_size: int = container.DEFAULT_BLOCK_SIZE,
+             block_size: int | None = None,
              backend: str = "auto") -> bytes:
     """Compress to the HRT1 container.
+
+    The codec spec selects the HRT1 pipeline parameters (width transform,
+    emission threshold, single-symbol mode -- see :func:`hrt1_params`), so
+    different codec families produce genuinely different payloads.
 
     ``backend``: 'kernel' (Pallas block encoder, the flagship device path),
     'device' (jit XLA encode), 'native' (C++ host encoder), 'host' (numpy
@@ -64,20 +140,32 @@ def compress(data, codec: str | int | spec_mod.CodecSpec = "8 Bit", *,
     TPU backends, else XLA).  All encoders emit identical commands.
     """
     cspec = _resolve(codec)
+    w, bdef, min_count, single = hrt1_params(cspec)
+    if block_size is None:
+        block_size = bdef
+    if block_size % w:
+        raise ValueError(f"block_size {block_size} not divisible by the "
+                         f"{w}-byte symbol width of {cspec.name!r}")
     arr = _as_bytes_array(data)
     if arr.size == 0:
         return container.serialize_blocks(
-            cspec.index, 0, block_size, _DEFAULT_MIN_COUNT,
+            cspec.index, 0, block_size, min_count,
             np.zeros((0, 1), np.uint8), np.zeros((0, 1), np.int32),
             np.zeros((0, 1), np.int32), np.zeros((0, block_size), np.uint8),
             np.zeros(0, np.int32), np.zeros(0, np.int32))
-    min_count = _DEFAULT_MIN_COUNT
     x, lens = _to_blocks(arr, block_size)
+    x, lens = _deinterleave(x, lens, w)
+    only_sym = None
+    if single:
+        only_sym = np.array(
+            [int(np.argmax(np.bincount(x[b, :lens[b]], minlength=256)))
+             for b in range(x.shape[0])], np.int32)
     cap = planar.capacity_for(block_size, min_count)
     cols = None
     if backend in ("auto", "native"):
         from .utils import native
-        cols = native.planar_from_bytes(x, lens, cap, min_count)
+        cols = native.planar_from_bytes(x, lens, cap, min_count,
+                                        only_sym=only_sym)
         if cols is None and backend == "native":
             raise RuntimeError("native runtime unavailable")
     if cols is None and (backend == "kernel" or (
@@ -86,13 +174,16 @@ def compress(data, codec: str | int | spec_mod.CodecSpec = "8 Bit", *,
         interp = jax.default_backend() != "tpu"
         cols = [np.asarray(v) for v in encode_sup.encode_blocks_kernel(
             jnp.asarray(x), jnp.asarray(lens), capacity=cap,
-            min_count=min_count, interpret=interp)]
+            min_count=min_count, interpret=interp,
+            only_sym=None if only_sym is None else jnp.asarray(only_sym))]
     if cols is None and backend in ("auto", "device"):
-        pb = device.encode_blocks(x, lens, capacity=cap, min_count=min_count)
+        pb = device.encode_blocks(
+            x, lens, capacity=cap, min_count=min_count,
+            only_sym=None if only_sym is None else jnp.asarray(only_sym))
         cols = [np.asarray(v) for v in
                 (pb.sym, pb.count, pb.lit_len, pb.lits, pb.n_cmds, pb.n_lits)]
     if cols is None:
-        cols = _host_encode(x, lens, cap, block_size, min_count)
+        cols = _host_encode(x, lens, cap, block_size, min_count, only_sym)
     return container.serialize_blocks(
         cspec.index, arr.size, block_size, min_count, *cols)
 
@@ -119,6 +210,13 @@ def decompress(buf, *, backend: str = "auto") -> bytes:
     sym, count, lit_len, lits, n_cmds, n_lits, block_len = planar_cols
     if info.uncompressed_size == 0:
         return b""
+    try:
+        w = hrt1_params(spec_mod.by_index(info.codec_index))[0]
+    except (IndexError, KeyError):
+        w = 1
+    orig_len = block_len
+    if w > 1:   # widths decode in the byte-lane domain (hrt1_params)
+        block_len = (-(-block_len.astype(np.int64) // w) * w).astype(np.int32)
     if backend == "auto":
         backend = "kernel" if jax.default_backend() == "tpu" else "device"
     if backend == "kernel":
@@ -150,13 +248,23 @@ def decompress(buf, *, backend: str = "auto") -> bytes:
             for b in range(info.n_blocks)])
     else:
         raise ValueError(f"unknown backend {backend!r}")
-    mask = np.arange(info.block_size)[None, :] < block_len[:, None]
+    if w > 1:
+        nb, B = y.shape
+        yi = np.ascontiguousarray(
+            y.reshape(nb, w, B // w).swapaxes(1, 2).reshape(nb, B))
+        for b in np.flatnonzero(orig_len != B):   # partial (tail) blocks
+            n = int(orig_len[b])
+            yi[b, :n] = _interleave_block(y[b], n, w)
+        y = yi
+    mask = np.arange(info.block_size)[None, :] < orig_len[:, None]
     return y[mask].tobytes()
 
 
-def _host_encode(x, lens, cap, block_size, min_count):
-    outs = [planar.host_encode_block(x[b, :lens[b]], cap, block_size, min_count)
-            for b in range(x.shape[0])]
+def _host_encode(x, lens, cap, block_size, min_count, only_sym=None):
+    outs = [planar.host_encode_block(
+        x[b, :lens[b]], cap, block_size, min_count,
+        None if only_sym is None else int(only_sym[b]))
+        for b in range(x.shape[0])]
     sym = np.stack([o[0] for o in outs])
     count = np.stack([o[1] for o in outs])
     lit_len = np.stack([o[2] for o in outs])

@@ -32,8 +32,10 @@ from .planar import PlanarBlocks
 # ---------------------------------------------------------------------------
 
 def _encode_block(x: jnp.ndarray, n: jnp.ndarray, capacity: int,
-                  min_count: int) -> tuple:
-    """Encode one block of ``B`` bytes (``n`` valid) into planar commands."""
+                  min_count: int, only_sym: jnp.ndarray) -> tuple:
+    """Encode one block of ``B`` bytes (``n`` valid) into planar commands.
+    ``only_sym`` < 0 emits every qualifying run; otherwise only runs of
+    that byte (Single family, rle8_extreme_cpu.c:53-153)."""
     B = x.shape[0]
     pos = jnp.arange(B, dtype=jnp.int32)
     valid = pos < n
@@ -48,7 +50,8 @@ def _encode_block(x: jnp.ndarray, n: jnp.ndarray, capacity: int,
     next_bnd = jax.lax.cummin(nxt[::-1])[::-1]
     run_len = jnp.where(bnd, jnp.minimum(next_bnd, n) - pos, 0)
 
-    emit = bnd & valid & (run_len >= min_count)
+    emit = bnd & valid & (run_len >= min_count) & \
+        ((only_sym < 0) | (xi == only_sym))
     emit_cum = jnp.cumsum(emit.astype(jnp.int32))
     n_runs = emit_cum[-1]
 
@@ -85,11 +88,16 @@ def _encode_block(x: jnp.ndarray, n: jnp.ndarray, capacity: int,
 
 @functools.partial(jax.jit, static_argnames=("capacity", "min_count"))
 def encode_blocks(x: jnp.ndarray, block_len: jnp.ndarray, *, capacity: int,
-                  min_count: int = 6) -> PlanarBlocks:
+                  min_count: int = 6,
+                  only_sym: jnp.ndarray | None = None) -> PlanarBlocks:
     """Encode ``[nb, B]`` bytes into planar commands. ``block_len[nb]`` gives
-    the valid byte count of each block (all but the last are usually B)."""
-    enc = jax.vmap(lambda xb, nb: _encode_block(xb, nb, capacity, min_count))
-    sym, count, lit_len, lits, n_cmds, n_lits, n = enc(x, block_len)
+    the valid byte count of each block (all but the last are usually B);
+    ``only_sym[nb]`` (or None) restricts emission per block (Single)."""
+    if only_sym is None:
+        only_sym = jnp.full(x.shape[0], -1, jnp.int32)
+    enc = jax.vmap(lambda xb, nb, os_: _encode_block(xb, nb, capacity,
+                                                     min_count, os_))
+    sym, count, lit_len, lits, n_cmds, n_lits, n = enc(x, block_len, only_sym)
     return PlanarBlocks(sym, count, lit_len, lits, n_cmds, n_lits, n)
 
 

@@ -48,13 +48,14 @@ def _proll(x, s, axis):
     return pltpu.roll(x, s, axis=axis)
 
 
-def _encode_body(blen_ref, x_ref, sym_ref, count_ref, litlen_ref, lits_ref,
-                 meta_ref, *, R: int, cap_rows: int, min_count: int,
+def _encode_body(blen_ref, only_ref, x_ref, sym_ref, count_ref, litlen_ref,
+                 lits_ref, meta_ref, *, R: int, cap_rows: int, min_count: int,
                  interpret: bool):
     roll = _jroll if interpret else _proll
     B = R * ROW
     b = pl.program_id(0)
     blen = blen_ref[b]
+    only = only_ref[b]      # < 0: all runs; else Single-family filter
 
     flat = (jax.lax.broadcasted_iota(jnp.int32, (R, ROW), 0) * ROW
             + jax.lax.broadcasted_iota(jnp.int32, (R, ROW), 1))
@@ -71,7 +72,7 @@ def _encode_body(blen_ref, x_ref, sym_ref, count_ref, litlen_ref, lits_ref,
     nxt = jnp.where(flat < B - 1, shuffle.flat_roll(
         shuffle.suffix_min_tile(bnd_pos, roll), -1, roll), B)
     run_len = jnp.minimum(nxt, blen) - flat
-    emit = bnd & valid & (run_len >= min_count)
+    emit = bnd & valid & (run_len >= min_count) & ((only < 0) | (x == only))
 
     # coverage: forward-fill emitted (start, len) over the block
     start_ff = shuffle.inclusive_cummax_tile(
@@ -121,23 +122,27 @@ def _encode_body(blen_ref, x_ref, sym_ref, count_ref, litlen_ref, lits_ref,
                                              "interpret"))
 def encode_blocks_kernel(x: jnp.ndarray, block_len: jnp.ndarray, *,
                          capacity: int, min_count: int = 6,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         only_sym: jnp.ndarray | None = None):
     """Encode ``[nb, B]`` bytes into planar columns on-device.
 
     Returns ``(sym, count, lit_len, lits, n_cmds, n_lits)`` with shapes
     matching ``ops/device.encode_blocks``; byte-identical emission.
     ``B`` must be a multiple of 128 and ``capacity`` a multiple of 128.
+    ``only_sym[nb]`` (or None) restricts emission per block (Single).
     """
     nb, B = x.shape
     assert B % ROW == 0 and capacity % ROW == 0, (B, capacity)
     R = B // ROW
     cap_rows = capacity // ROW
     assert cap_rows <= R, (capacity, B)
+    if only_sym is None:
+        only_sym = jnp.full(nb, -1, jnp.int32)
 
     kernel = functools.partial(_encode_body, R=R, cap_rows=cap_rows,
                                min_count=min_count, interpret=interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[pl.BlockSpec((1, R, ROW), lambda b, *_: (b, 0, 0))],
         out_specs=[
@@ -159,7 +164,8 @@ def encode_blocks_kernel(x: jnp.ndarray, block_len: jnp.ndarray, *,
             jax.ShapeDtypeStruct((nb, 8, ROW), jnp.int32),
         ],
         interpret=interpret,
-    )(block_len.astype(jnp.int32), x.reshape(nb, R, ROW))
+    )(block_len.astype(jnp.int32), only_sym.astype(jnp.int32),
+      x.reshape(nb, R, ROW))
     return (sym.reshape(nb, capacity), count.reshape(nb, capacity),
             lit_len.reshape(nb, capacity), lits.reshape(nb, B),
             meta[:, 0, 0], meta[:, 0, 1])

@@ -66,9 +66,12 @@ def capacity_for(block_size: int, min_count: int) -> int:
 
 
 def host_encode_block(data: np.ndarray, capacity: int, block_size: int,
-                      min_count: int = 6) -> tuple[np.ndarray, ...]:
+                      min_count: int = 6,
+                      only_sym: int | None = None) -> tuple[np.ndarray, ...]:
     """Golden host encoder for one block (numpy; the device encoder in
-    ops/device.py must match it exactly)."""
+    ops/device.py must match it exactly).  ``only_sym`` restricts emission
+    to runs of that byte (the Single family's filter,
+    rle8_extreme_cpu.c:53-153)."""
     n = int(data.shape[0])
     assert n <= block_size
     sym = np.zeros(capacity, np.uint8)
@@ -82,6 +85,8 @@ def host_encode_block(data: np.ndarray, capacity: int, block_size: int,
     starts = np.concatenate(([0], change))
     lengths = np.concatenate((change, [n])) - starts
     keep = lengths >= min_count
+    if only_sym is not None:
+        keep &= data[starts] == only_sym
     ks, kl = starts[keep], lengths[keep]
     n_runs = int(ks.shape[0])
     assert n_runs + 1 <= capacity, (n_runs, capacity)

@@ -145,9 +145,10 @@ def fused_delta_from_planar(sym, count, lit_len, lits, n_cmds,
 
 
 def planar_from_bytes(x: np.ndarray, lens: np.ndarray, cap: int,
-                      min_count: int = 6):
+                      min_count: int = 6, only_sym=None):
     """Native block encoder: [nb, B] bytes -> planar columns; None if the
-    library is unavailable."""
+    library is unavailable.  ``only_sym[nb]`` (or None) restricts emission
+    per block (Single family)."""
     L = lib()
     if L is None:
         return None
@@ -160,11 +161,14 @@ def planar_from_bytes(x: np.ndarray, lens: np.ndarray, cap: int,
     n_lits = np.zeros(nb, np.int32)
     xc = np.ascontiguousarray(x, np.uint8)
     lc = np.ascontiguousarray(lens, np.int32)
+    oc = (None if only_sym is None
+          else np.ascontiguousarray(only_sym, np.int32))
     rc = L.planar_from_bytes_batch(
         _ptr(xc), _ptr(lc), ctypes.c_int64(nb), ctypes.c_int64(cap),
         ctypes.c_int64(B), ctypes.c_int32(min_count),
         _ptr(sym), _ptr(count), _ptr(lit_len), _ptr(lits),
-        _ptr(n_cmds), _ptr(n_lits))
+        _ptr(n_cmds), _ptr(n_lits),
+        None if oc is None else _ptr(oc))
     if rc != 0:
         raise RuntimeError(f"planar_from_bytes rc={rc}")
     return sym, count, lit_len, lits, n_cmds, n_lits
