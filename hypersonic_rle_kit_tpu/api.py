@@ -214,6 +214,10 @@ def decompress(buf, *, backend: str = "auto") -> bytes:
         w = hrt1_params(spec_mod.by_index(info.codec_index))[0]
     except (IndexError, KeyError):
         w = 1
+    if info.block_size % w:
+        raise container.ContainerError(
+            f"block size {info.block_size} not divisible by codec "
+            f"{info.codec_index}'s {w}-byte width")
     orig_len = block_len
     if w > 1:   # widths decode in the byte-lane domain (hrt1_params)
         block_len = (-(-block_len.astype(np.int64) // w) * w).astype(np.int32)

@@ -87,19 +87,92 @@ def fuzz_one(data: bytes, s: spec_mod.CodecSpec,
         return "encoder corrupted its input buffer"
     if not comp and data:
         return "compress returned empty"
-    # scramble past the claimed compressed size (the reference poisons the
-    # slack of its buffer, rle_fuzz.c:629-636).  Pure transforms carry no
-    # header and are decoded with an exact size argument, so they are
-    # excluded, as in the reference harness.
+    # poison the buffer slack past the claimed compressed size (the
+    # reference scrambles its allocation's tail, rle_fuzz.c:629-636; here
+    # the decoder receives a longer buffer whose bytes past the claimed
+    # size are random -- the same out-of-bounds-read trap, with a swept
+    # slack length so off-by-small reads hit poison immediately).  Pure
+    # transforms carry no header and are decoded with an exact size
+    # argument, so they are excluded, as in the reference harness.
     if s.is_transform:
         poisoned = comp
     else:
         rng = np.random.default_rng(scramble_seed)
-        poisoned = comp + rng.integers(0, 256, 96, dtype=np.uint8).tobytes()
+        slack = int(rng.integers(1, 129))
+        poisoned = comp + rng.integers(0, 256, slack,
+                                       dtype=np.uint8).tobytes()
     dec = registry.decompress(poisoned, s)
     if dec != data:
         return f"round-trip mismatch ({len(dec)} vs {len(data)} bytes)"
     return None
+
+
+# default device-fuzz codec subset: one per HRT1 parameter family
+# (width x threshold x single), see api.hrt1_params
+DEVICE_FUZZ_CODECS = (
+    "8 Bit", "8 Bit Packed", "8 Bit Single", "8 Bit 3LUT Short",
+    "16 Bit (Symbol)", "24 Bit (Byte)", "32 Bit Packed (Byte)",
+    "48 Bit (Symbol)", "64 Bit 3LUT Short Grdy (Byte)",
+    "128 Bit (Symbol)",
+)
+
+
+def fuzz_device_one(data: bytes, s: spec_mod.CodecSpec,
+                    rng: np.random.Generator,
+                    backend: str = "device") -> str | None:
+    """Round-trip one input through the HRT1 device pipeline, then mutate
+    the container and require a typed error or a clean (possibly wrong)
+    decode -- never an unhandled crash.  This is the device-path analog of
+    the reference's buffer-scramble trap (rle_fuzz.c:629-636) on top of the
+    container validation (rle8_extreme_cpu.h:707-712)."""
+    from . import api
+    from .parallel import container
+
+    blob = api.compress(data, s)
+    dec = api.decompress(blob, backend=backend)
+    if dec != data:
+        return f"device round-trip mismatch ({len(dec)} vs {len(data)})"
+    for _ in range(4):
+        m = bytearray(blob)
+        for _ in range(int(rng.integers(1, 9))):
+            m[int(rng.integers(len(m)))] ^= 1 << int(rng.integers(8))
+        try:
+            api.decompress(bytes(m), backend=backend)
+        except container.ContainerError:
+            pass              # typed rejection is the desired outcome
+        except Exception as e:  # noqa: BLE001 - the trap itself
+            return (f"mutated container escaped validation with "
+                    f"{type(e).__name__}: {e}")
+    # truncations must always be rejected
+    for cut in (1, len(blob) // 2, len(blob) - 1):
+        try:
+            api.decompress(blob[:cut], backend=backend)
+            return f"truncated container (len {cut}) accepted"
+        except container.ContainerError:
+            pass
+        except Exception as e:  # noqa: BLE001
+            return f"truncated container raised {type(e).__name__}: {e}"
+    return None
+
+
+def run_device(inputs, specs, max_failures: int = 1, log=print,
+               seed: int = 0xD0D0, backend: str = "device") -> int:
+    rng = np.random.default_rng(seed)
+    failures = 0
+    for n, data in enumerate(inputs):
+        for s in specs:
+            err = fuzz_device_one(data, s, rng, backend)
+            if err:
+                failures += 1
+                with open("fuzz-failure.bin", "wb") as f:
+                    f.write(data)
+                log(f"DEVICE FAILURE [{s.name}] len={len(data)}: {err} "
+                    f"(input saved to fuzz-failure.bin)")
+                if failures >= max_failures:
+                    return failures
+        if (n + 1) % 5 == 0:
+            log(f"  {n + 1} inputs x {len(specs)} codecs clean (device)")
+    return failures
 
 
 def run(inputs, specs, max_failures: int = 1, log=print) -> int:
@@ -129,7 +202,37 @@ def main(argv=None):
     ap.add_argument("--codec", action="append", default=None)
     ap.add_argument("--skip-slow", action="store_true",
                     help="skip MMTF/greedy codecs (slow host paths)")
+    ap.add_argument("--device", action="store_true",
+                    help="fuzz the HRT1 device pipeline (compress ->"
+                         " device decode, container mutation, truncation)")
+    ap.add_argument("--device-backend", default="device",
+                    choices=("device", "kernel"),
+                    help="device decode backend under --device")
     args = ap.parse_args(argv)
+
+    if args.device:
+        # correctness fuzzing pins the CPU backend: XLA semantics match the
+        # accelerator, every input shape would otherwise recompile through
+        # the TPU toolchain, and CI has no chip.  HSRK_FUZZ_DEVICE_TPU=1
+        # overrides for a hardware soak.
+        import os
+        if os.environ.get("HSRK_FUZZ_DEVICE_TPU") != "1":
+            os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                                  "/tmp/hsrk_jax_cache")
+            import jax
+            if jax.config.jax_platforms != "cpu":
+                jax.config.update("jax_platforms", "cpu")
+        specs = [spec_mod.by_name(n) for n in DEVICE_FUZZ_CODECS]
+        if args.codec:
+            specs = [s for s in spec_mod.REGISTRY if s.name in args.codec]
+        if args.iterative:
+            inputs = itertools.islice(
+                iterative_inputs(args.sections), args.iterations)
+        else:
+            inputs = random_inputs(args.sections, args.iterations)
+        failures = run_device(inputs, specs, backend=args.device_backend)
+        print("fuzz (device):", "FAILED" if failures else "clean")
+        return 1 if failures else 0
 
     specs = [s for s in spec_mod.REGISTRY
              if s.family is not spec_mod.Family.MEMCPY]

@@ -34,6 +34,7 @@ _HEADER = struct.Struct("<IBBHQII")
 _BLOCK = struct.Struct("<IIIBBBB")
 DEFAULT_BLOCK_SIZE = 1 << 16
 MAX_BLOCKS = 1 << 28
+MAX_BLOCK_SIZE = 1 << 24    # allocation bound for hostile headers
 
 
 class ContainerError(ValueError):
@@ -131,7 +132,7 @@ def parse(buf: bytes) -> tuple[ContainerInfo, list[dict]]:
     magic, codec, _flags, _rsv, usize, bsize, nb = _HEADER.unpack_from(buf, 0)
     if magic != MAGIC:
         raise ContainerError("not an HRT1 container")
-    if bsize <= 0 or nb < 0 or nb > MAX_BLOCKS:
+    if bsize <= 0 or bsize > MAX_BLOCK_SIZE or nb < 0 or nb > MAX_BLOCKS:
         raise ContainerError(f"implausible geometry: block_size={bsize} "
                              f"n_blocks={nb}")
     if usize > nb * bsize or (nb and usize <= (nb - 1) * bsize):
