@@ -2,10 +2,10 @@
 //
 // Clean-room C++ implementations of the host-side hot paths, exposed with a
 // C ABI for ctypes (no pybind11 in this environment):
-//  - rows_from_planar: planar block commands -> row-local fields for the TPU
-//    decode kernel (ops/expand_pallas.py documents the layout);
 //  - planar_from_bytes: run detection + planar command build (the host
 //    encoder for the HRT1 container);
+//  - unpack_container_batch: HRT1 payload -> planar columns (decode prep);
+//  - decode_planar_batch: threaded host block decoder;
 //  - rle8 reference-format compress/decompress (byte grammar per
 //    formats/rle8.py; format spec derived from rle8_extreme_cpu.{c,h}).
 //
@@ -111,70 +111,6 @@ inline int64_t next_run_start(const uint8_t *d, int64_t i, int64_t n,
 }  // namespace
 
 extern "C" {
-
-// ---------------------------------------------------------------------------
-// planar -> row-local fields (ROW = 128 bytes, W slots padded to 128)
-// ---------------------------------------------------------------------------
-
-int rows_from_planar(
-    const uint8_t *sym, const int32_t *count, const int32_t *lit_len,
-    const uint8_t *lits, const int32_t *n_cmds,
-    int64_t nb, int64_t cap, int64_t B, int64_t W, int64_t WPAD,
-    int32_t *row_sym, int32_t *row_start, int32_t *row_end, uint8_t *litrow) {
-  const int64_t ROW = 128;
-  const int64_t rows = B / ROW;
-  // row fields are [nb, rows, WPAD]; litrow [nb, rows, 128]
-  return parallel_blocks(nb, [&](int64_t b) -> int {
-    int32_t *rs = row_sym + b * rows * WPAD;
-    int32_t *ra = row_start + b * rows * WPAD;
-    int32_t *re = row_end + b * rows * WPAD;
-    uint8_t *lr = litrow + b * rows * ROW;
-    const uint8_t *sy = sym + b * cap;
-    const int32_t *ct = count + b * cap;
-    const int32_t *ll = lit_len + b * cap;
-    const uint8_t *li = lits + b * B;
-
-    for (int64_t i = 0; i < rows * WPAD; i++) {
-      ra[i] = ROW;
-      re[i] = ROW;
-    }
-    // slot + litfill per row
-    static thread_local int32_t slot[1 << 16];
-    static thread_local int32_t fill[1 << 16];
-    if (rows > (1 << 16)) return -1;
-    memset(slot, 0, rows * sizeof(int32_t));
-    memset(fill, 0, rows * sizeof(int32_t));
-
-    int64_t pos = 0, lp = 0;
-    const int32_t nc = n_cmds[b];
-    for (int32_t c = 0; c < nc; c++) {
-      int64_t rem = ll[c];
-      while (rem > 0) {
-        const int64_t r = pos / ROW;
-        const int64_t take = std::min(rem, (r + 1) * ROW - pos);
-        memcpy(lr + r * ROW + fill[r], li + lp, take);
-        fill[r] += (int32_t)take;
-        lp += take;
-        pos += take;
-        rem -= take;
-      }
-      int64_t rb = pos + ct[c];
-      const int32_t sv = sy[c];
-      while (pos < rb) {
-        const int64_t r = pos / ROW;
-        const int64_t take = std::min(rb, (r + 1) * ROW) - pos;
-        const int32_t s = slot[r];
-        if (s >= W) return -2;  // capacity overflow
-        rs[r * WPAD + s] = sv;
-        ra[r * WPAD + s] = (int32_t)(pos - r * ROW);
-        re[r * WPAD + s] = (int32_t)(pos - r * ROW + take);
-        slot[r] = s + 1;
-        pos += take;
-      }
-    }
-    return 0;
-  });
-}
 
 // ---------------------------------------------------------------------------
 // planar -> delta/lit planes (decode kernel v2, ops/decode_planes.py)

@@ -9,7 +9,6 @@ Modules:
     planar              columnar command IR + host goldens
     device              XLA block encode/decode (vmapped, shard_map-safe)
     decode_planes       fused Pallas decode kernels (delta-paint, MXU scan)
-    expand_pallas       v1 windowed-expand kernel (kept as the fallback tier)
     bitpack             1/2/3/4-bit pack/unpack (bitpack.h analog)
     mmtf_device         MMTF 128/256 + Bit-MMTF transforms on device
     low_entropy_device  Low Entropy / rle8m device decode (OpenCL analog)

@@ -1,7 +1,7 @@
 """Decode kernel v2: strided delta-paint run expansion.
 
-The v1 kernel (ops/expand_pallas.py) evaluates every command window against
-every lane (a W-deep compare loop) and gathers literals with a one-hot MXU
+The retired v1 kernel evaluated every command window against every lane
+(a W-deep compare loop) and gathered literals with a one-hot MXU
 contraction — ~500 vector ops per output byte.  v2 replaces both with a
 formulation whose device cost is ~25 int32 ops/byte and whose host prep cost
 is O(compressed size), not O(raw size):

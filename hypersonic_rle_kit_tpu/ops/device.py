@@ -1,7 +1,7 @@
 """Device (XLA) encode/decode over planar blocks.
 
 Pure-jnp formulations that XLA can tile onto the VPU; the Pallas kernels in
-ops/expand_pallas.py specialize the hot paths further.  Everything is
+ops/decode_sup.py and ops/encode_sup.py specialize the hot paths.  Everything is
 shape-static and vmapped over the block axis, so the same code runs under
 `jit`, inside `shard_map` partitions, and on the CPU backend for tests.
 

@@ -46,7 +46,6 @@ def lib():
         return None
     i64, i32p, u8p = (ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
                       ctypes.POINTER(ctypes.c_uint8))
-    L.rows_from_planar.restype = ctypes.c_int
     L.decode_planar_batch.restype = ctypes.c_int
     L.planar_from_bytes.restype = ctypes.c_int
     L.planar_from_bytes_batch.restype = ctypes.c_int
@@ -61,36 +60,6 @@ def lib():
 
 def _ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.c_void_p)
-
-
-def rows_from_planar(sym, count, lit_len, lits, n_cmds, W: int = 24,
-                     wpad: int = 32):
-    """Native planar->rows prep; fields [nb, rows, wpad], literals
-    [nb, rows, 128]; None if the native lib is unavailable."""
-    L = lib()
-    if L is None:
-        return None
-    nb, cap = sym.shape
-    B = lits.shape[1]
-    rows = B // 128
-    row_sym = np.zeros((nb, rows, wpad), np.int32)
-    row_start = np.empty((nb, rows, wpad), np.int32)
-    row_end = np.empty((nb, rows, wpad), np.int32)
-    litrow = np.zeros((nb, rows, 128), np.uint8)
-    args = [np.ascontiguousarray(sym, np.uint8),
-            np.ascontiguousarray(count, np.int32),
-            np.ascontiguousarray(lit_len, np.int32),
-            np.ascontiguousarray(lits, np.uint8),
-            np.ascontiguousarray(n_cmds, np.int32)]
-    rc = L.rows_from_planar(
-        _ptr(args[0]), _ptr(args[1]), _ptr(args[2]), _ptr(args[3]),
-        _ptr(args[4]),
-        ctypes.c_int64(nb), ctypes.c_int64(cap), ctypes.c_int64(B),
-        ctypes.c_int64(W), ctypes.c_int64(wpad),
-        _ptr(row_sym), _ptr(row_start), _ptr(row_end), _ptr(litrow))
-    if rc != 0:
-        raise RuntimeError(f"rows_from_planar failed rc={rc}")
-    return row_sym, row_start, row_end, litrow
 
 
 def planes_from_planar(sym, count, lit_len, lits, n_cmds, width: int = 1):

@@ -5,8 +5,12 @@ import os
 # Forced (not setdefault): the ambient environment may pin JAX_PLATFORMS to a
 # TPU plugin (and plugin bootstrap code may force jax.config.jax_platforms at
 # interpreter start), and hardware tests belong in bench.py, not the unit
-# suite.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# suite.  HSRK_TPU_LANE=1 keeps the ambient TPU backend so the
+# @pytest.mark.tpu compiled-kernel lane (test_tpu_compiled.py) can run on
+# the bench box:  HSRK_TPU_LANE=1 pytest tests/test_tpu_compiled.py -m tpu
+_TPU_LANE = os.environ.get("HSRK_TPU_LANE") == "1"
+if not _TPU_LANE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,7 +19,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-if jax.config.jax_platforms != "cpu":
+if not _TPU_LANE and jax.config.jax_platforms != "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: XLA compiles dominate test wall-time on this

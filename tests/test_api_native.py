@@ -6,7 +6,7 @@ import pytest
 import fuzz_inputs
 from hypersonic_rle_kit_tpu import api
 from hypersonic_rle_kit_tpu.formats import rle8 as pyrle8
-from hypersonic_rle_kit_tpu.ops import expand_pallas as ep, planar
+from hypersonic_rle_kit_tpu.ops import planar
 from hypersonic_rle_kit_tpu.utils import native
 
 CORPUS = fuzz_inputs.corpus(count=6)[:10]
@@ -30,28 +30,6 @@ def test_native_rle8_parity():
         assert native.rle8_compress(data) == pyrle8.rle8_compress(data)
         comp = pyrle8.rle8_compress(data)
         assert native.rle8_decompress(comp) == data
-
-
-@needs_native
-def test_native_rows_match_python():
-    rng = np.random.default_rng(9)
-    data = fuzz_inputs.make_input(rng, n_sections=8)
-    B = 4096
-    nb = max(1, len(data) // B)
-    x = np.zeros((nb, B), np.uint8)
-    flat = np.frombuffer(data, np.uint8)[: nb * B]
-    x.reshape(-1)[: flat.size] = flat
-    lens = np.full(nb, B, np.int32)
-    cap = planar.capacity_for(B, 6)
-    cols = native.planar_from_bytes(x, lens, cap)
-    rows_c = native.rows_from_planar(cols[0], cols[1], cols[2], cols[3],
-                                     cols[4])
-    rows_py = ep.rows_from_planar(cols[0], cols[1], cols[2], cols[3],
-                                  cols[4], lens)
-    for a, b in zip(rows_c, rows_py):
-        np.testing.assert_array_equal(a, b)
-    y = ep.decode_rows_host(*rows_c)
-    np.testing.assert_array_equal(y.reshape(nb, B), x)
 
 
 @needs_native
