@@ -250,21 +250,202 @@ def _decode_body(widx_ref, carry_ref, lit0_ref, blen_ref,
     out_ref[0] = jnp.where(in_len, out, 0)
 
 
+def _decode_body_bg(rs8_ref, carry_ref, lit0_ref, blen_ref,
+                    ev_ref, lits_ref, tri_ref, out_ref, acc_ref,
+                    *, wn: int, sup_rows: int, lg_sup: int, TS: int,
+                    interpret: bool, stage: int = 3):
+    """Block-grid body: grid = (nb,), one cell decodes a whole block.
+
+    Identical per-supertile math to :func:`_decode_body`, but the TS
+    supertiles run as an unrolled inner loop over one VMEM-resident event
+    buffer, so the per-grid-cell overhead (block fetch, pipeline step)
+    amortizes over the block instead of recurring per 4 KiB supertile.
+    Windows are dynamic 8-row-aligned slices of the event buffer selected
+    by prefetched scalars (``wn`` static rows cover the worst alignment
+    slack plus the density bucket)."""
+    roll = _jroll if interpret else _proll
+    sup = sup_rows * ROW
+    b = pl.program_id(0)
+    blen = blen_ref[b]
+
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (ROW, ROW), 1)
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (ROW, sup_rows), 1)
+    dn = (((0,), (0,)), ((), ()))
+    flat = (jax.lax.broadcasted_iota(jnp.int32, (sup_rows, ROW), 0) * ROW
+            + jax.lax.broadcasted_iota(jnp.int32, (sup_rows, ROW), 1))
+    at00 = (jax.lax.broadcasted_iota(jnp.int32, (sup_rows, ROW), 0) == 0) & \
+           (jax.lax.broadcasted_iota(jnp.int32, (sup_rows, ROW), 1) == 0)
+    qflat = (jax.lax.broadcasted_iota(jnp.int32, (8, ROW), 0) * ROW
+             + jax.lax.broadcasted_iota(jnp.int32, (8, ROW), 1))
+    OFF = 8 * ROW
+
+    def row_scan(x_i32):
+        r = x_i32.shape[0]
+        c = jax.lax.dot_general(
+            x_i32.astype(jnp.bfloat16), tri_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        tot = c[:, ROW - 1:ROW]
+        acc = tot
+        rr = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+        for bb in range(max(1, (r - 1).bit_length())):
+            acc = acc + jnp.where(rr >= (1 << bb), roll(acc, 1 << bb, 0), 0)
+        return c + (acc - tot)
+
+    for t in range(TS):
+        carry = carry_ref[b, t]
+        l0 = lit0_ref[b, t]
+        rs8 = pl.multiple_of(rs8_ref[b, t], 8)
+        win = ev_ref[0, pl.ds(rs8, wn), :]         # [wn, 128] i32
+        acc_ref[...] = jnp.zeros((sup_rows, ROW), jnp.float32)
+        tw = jnp.swapaxes(win, 0, 1)               # [128, wn]
+        for k in range(wn):
+            w = tw[:, k:k + 1]                     # [128, 1]
+            pos = jax.lax.shift_right_logical(w, _POS_SHIFT)
+            keep = jax.lax.shift_right_logical(pos, lg_sup) == t
+            val = jnp.where(keep, (w & _VAL_MASK) - _VAL_OFF, 0)
+            live = jnp.any(val != 0)
+            lpos = pos & (sup - 1)
+
+            @pl.when(live)
+            def _():
+                rowm = ((lpos >> 7) == rows_iota).astype(jnp.bfloat16)
+                lm = ((lpos & 127) == lane128).astype(jnp.bfloat16)
+                bs = lm * val.astype(jnp.bfloat16)
+                acc_ref[...] += jax.lax.dot_general(
+                    rowm, bs, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+
+        if stage == 1:                 # profiling: paint only
+            out_ref[0, t * sup_rows:(t + 1) * sup_rows, :] = \
+                (acc_ref[...].astype(jnp.int32) + carry).astype(jnp.uint8)
+            continue
+
+        d = acc_ref[...].astype(jnp.int32) + jnp.where(at00, carry, 0)
+        cum = row_scan(d)
+        cov = cum >= 1
+        sym_exp = ((cum - 1) & 0xFF).astype(jnp.uint8)
+
+        in_len = (t * sup + flat) < blen
+        if stage == 2:                 # profiling: paint + scans, no lits
+            covi = cov.astype(jnp.int32)
+            rank = flat - (row_scan(covi) - covi)
+            out = jnp.where(cov, sym_exp, (rank & 0xFF).astype(jnp.uint8))
+            out_ref[0, t * sup_rows:(t + 1) * sup_rows, :] = \
+                jnp.where(in_len, out, 0)
+            continue
+
+        covi = cov.astype(jnp.int32)
+        rank = flat - (row_scan(covi) - covi)
+
+        w0 = pl.multiple_of((l0 >> 7) & ~7, 8)
+        m = l0 - w0 * ROW
+        lwin = lits_ref[0, pl.ds(w0, sup_rows + 9), :].astype(jnp.int32)
+        d_top = flat + OFF - (m + rank)
+        d_pad = jnp.minimum(qflat, OFF - m)
+        d_all = jnp.concatenate(
+            [d_pad, d_top, jnp.zeros((1, ROW), jnp.int32)], axis=0)
+        pulled = shuffle.staircase_pull(lwin, d_all, roll)
+        lit_exp = pulled[8:8 + sup_rows].astype(jnp.uint8)
+
+        out = jnp.where(cov, sym_exp, lit_exp)
+        out_ref[0, t * sup_rows:(t + 1) * sup_rows, :] = \
+            jnp.where(in_len, out, 0)
+
+
+def _decode_body_flat(blen_ref, ev_ref, lits_ref, tri_ref, out_ref, acc_ref,
+                      *, ERp: int, R: int, interpret: bool, stage: int = 3):
+    """Whole-block body: grid = (nb,), no supertiles.
+
+    One paint / one scan / one staircase over the full [R, 128] block plane.
+    The per-supertile variants issue ~50 small dependent ops per 4 KiB
+    (latency-bound on the VPU); here every stage is one wide op sequence
+    over the whole block, and the carry/lit0 tables disappear because the
+    scans never cross a block boundary.  The literal displacement is simply
+    the exclusive prefix count of covered bytes, so the rank scan and the
+    windowed l0 bookkeeping of the supertile variants vanish too."""
+    roll = _jroll if interpret else _proll
+    b = pl.program_id(0)
+    blen = blen_ref[b]
+
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (ROW, ROW), 1)
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (ROW, R), 1)
+    dn = (((0,), (0,)), ((), ()))
+
+    acc_ref[...] = jnp.zeros((R, ROW), jnp.float32)
+    tw = jnp.swapaxes(ev_ref[0], 0, 1)             # [128, ERp]
+    for k in range(ERp):
+        w = tw[:, k:k + 1]                         # [128, 1]
+        pos = jax.lax.shift_right_logical(w, _POS_SHIFT)
+        val = jnp.where(pos < R * ROW, (w & _VAL_MASK) - _VAL_OFF, 0)
+        live = jnp.any(val != 0)
+
+        @pl.when(live)
+        def _():
+            rowm = ((pos >> 7) == rows_iota).astype(jnp.bfloat16)
+            lm = ((pos & 127) == lane128).astype(jnp.bfloat16)
+            bs = lm * val.astype(jnp.bfloat16)
+            acc_ref[...] += jax.lax.dot_general(
+                rowm, bs, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+
+    def row_scan(x_i32):
+        c = jax.lax.dot_general(
+            x_i32.astype(jnp.bfloat16), tri_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        tot = c[:, ROW - 1:ROW]
+        acc = tot
+        rr = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        for bb in range((R - 1).bit_length()):
+            acc = acc + jnp.where(rr >= (1 << bb), roll(acc, 1 << bb, 0), 0)
+        return c + (acc - tot)
+
+    if stage == 1:                     # profiling: paint only
+        out_ref[0] = (acc_ref[...].astype(jnp.int32) & 0xFF).astype(jnp.uint8)
+        return
+
+    cum = row_scan(acc_ref[...].astype(jnp.int32))
+    cov = cum >= 1
+    sym_exp = ((cum - 1) & 0xFF).astype(jnp.uint8)
+
+    flat = (jax.lax.broadcasted_iota(jnp.int32, (R, ROW), 0) * ROW
+            + jax.lax.broadcasted_iota(jnp.int32, (R, ROW), 1))
+    if stage == 2:                     # profiling: no literal movement
+        out_ref[0] = jnp.where(flat < blen, sym_exp, 0)
+        return
+
+    covi = cov.astype(jnp.int32)
+    d_lit = row_scan(covi) - covi                  # covered bytes before p
+    lit_exp = shuffle.staircase_pull(
+        lits_ref[0].astype(jnp.int32), d_lit, roll).astype(jnp.uint8)
+
+    out = jnp.where(cov, sym_exp, lit_exp)
+    out_ref[0] = jnp.where(flat < blen, out, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("block_size", "sup", "wr",
-                                             "interpret"))
+                                             "interpret", "grid_mode",
+                                             "stage"))
 def decode_columns_device(sym, count, lit_len, lits, n_cmds, n_lits,
                           block_len, *, block_size: int, sup: int = DEFAULT_SUP,
-                          wr: int = 2, interpret: bool = False) -> jnp.ndarray:
+                          wr: int = 2, interpret: bool = False,
+                          grid_mode: str = "flat",
+                          stage: int = 3) -> jnp.ndarray:
     """Planar columns (device arrays) -> decoded [nb, block_size] uint8.
 
     ``wr`` (static) must satisfy ``wr * 128 >= max_events_per_sup(...)`` --
     use :func:`pick_wr`.  ``sup`` is the supertile size (power of two,
-    divides ``block_size``).
+    divides ``block_size``).  ``grid_mode`` selects the launch shape:
+    ``"block"`` (one grid cell per block, inner supertile loop -- the fast
+    path) or ``"sup"`` (one cell per supertile, the original v5 launch).
     """
     nb, C = count.shape
     B = block_size
     assert B <= MAX_BLOCK, (B, MAX_BLOCK)
-    assert sup & (sup - 1) == 0 and B % sup == 0, (B, sup)
+    assert B % ROW == 0, B
+    assert grid_mode == "flat" or (sup & (sup - 1) == 0 and B % sup == 0), \
+        (B, sup)
     sup_rows = sup // ROW
     lg_sup = sup.bit_length() - 1
     TS = B // sup
@@ -276,10 +457,79 @@ def decode_columns_device(sym, count, lit_len, lits, n_cmds, n_lits,
     block_len = block_len.astype(jnp.int32)
 
     ev, pos, val = _event_stream(sym, count, lit_len, n_cmds)
+    E = ev.shape[1]
+
+    tri = jnp.asarray(np.tril(np.ones((ROW, ROW), np.float32)).T,
+                      jnp.bfloat16)             # tri[p, j] = p <= j
+
+    if grid_mode == "flat":
+        ERp = max(8, -(-E // (8 * ROW)) * 8)
+        ev_rows = jnp.full((nb, ERp * ROW), _PAD_WORD, jnp.int32)
+        ev_rows = jax.lax.dynamic_update_slice(ev_rows, ev, (0, 0))
+        ev3 = ev_rows.reshape(nb, ERp, ROW)
+        lw = lits.shape[1]
+        lits_pad = (lits[:, :R * ROW] if lw >= R * ROW
+                    else jnp.pad(lits, ((0, 0), (0, R * ROW - lw))))
+        lits3 = lits_pad.reshape(nb, R, ROW)
+        kernel = functools.partial(_decode_body_flat, ERp=ERp, R=R,
+                                   interpret=interpret, stage=stage)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, ERp, ROW), lambda b, *_: (b, 0, 0)),
+                pl.BlockSpec((1, R, ROW), lambda b, *_: (b, 0, 0)),
+                pl.BlockSpec((ROW, ROW), lambda b, *_: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, R, ROW), lambda b, *_: (b, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((R, ROW), jnp.float32)],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nb, R, ROW), jnp.uint8),
+            interpret=interpret,
+        )(block_len, ev3, lits3, tri)
+        return out.reshape(nb, B)
+
     e_start, carry, lit0 = _sup_tables(pos, val, n_lits.astype(jnp.int32),
                                        block_len, block_size=B, sup=sup)
 
-    E = ev.shape[1]
+    LR = R + sup_rows + 16
+    lits_pad = jnp.pad(lits, ((0, 0), (0, LR * ROW - lits.shape[1])))
+    lits3 = lits_pad.reshape(nb, LR, ROW)
+
+    if grid_mode == "block":
+        wn = wr + 8                             # 8-aligned slack + bucket
+        rows_needed = -(-E // ROW)
+        ERp = -(-(rows_needed + wn) // 8) * 8
+        ev_rows = jnp.full((nb, ERp * ROW), _PAD_WORD, jnp.int32)
+        ev_rows = jax.lax.dynamic_update_slice(ev_rows, ev, (0, 0))
+        ev3 = ev_rows.reshape(nb, ERp, ROW)
+        rs8 = ((e_start[:, :TS] // ROW) & ~7).astype(jnp.int32)
+
+        kernel = functools.partial(_decode_body_bg, wn=wn,
+                                   sup_rows=sup_rows, lg_sup=lg_sup, TS=TS,
+                                   interpret=interpret, stage=stage)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, ERp, ROW), lambda b, *_: (b, 0, 0)),
+                pl.BlockSpec((1, LR, ROW), lambda b, *_: (b, 0, 0)),
+                pl.BlockSpec((ROW, ROW), lambda b, *_: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, R, ROW), lambda b, *_: (b, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((sup_rows, ROW), jnp.float32)],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nb, R, ROW), jnp.uint8),
+            interpret=interpret,
+        )(rs8, carry, lit0, block_len, ev3, lits3, tri)
+        return out.reshape(nb, B)
+
     crp = (-(-E // ROW) + 2 * wr + wr - 1) // wr * wr
     ev_rows = jnp.full((nb, crp * ROW), _PAD_WORD, jnp.int32)
     ev_rows = jax.lax.dynamic_update_slice(ev_rows, ev, (0, 0))
@@ -287,13 +537,6 @@ def decode_columns_device(sym, count, lit_len, lits, n_cmds, n_lits,
     # at any wr, and two half-offset windows cover any supertile's events
     ev4 = ev_rows.reshape(nb, crp // wr, wr, ROW)
     widx = jnp.clip(e_start[:, :TS] // (wr * ROW), 0, crp // wr - 2)
-
-    LR = R + sup_rows + 16
-    lits_pad = jnp.pad(lits, ((0, 0), (0, LR * ROW - lits.shape[1])))
-    lits3 = lits_pad.reshape(nb, LR, ROW)
-
-    tri = jnp.asarray(np.tril(np.ones((ROW, ROW), np.float32)).T,
-                      jnp.bfloat16)             # tri[p, j] = p <= j
 
     kernel = functools.partial(_decode_body, wr=wr, sup_rows=sup_rows,
                                lg_sup=lg_sup, interpret=interpret)
@@ -323,13 +566,16 @@ def decode_columns_device(sym, count, lit_len, lits, n_cmds, n_lits,
 
 def decode_planar_sup(sym, count, lit_len, lits, n_cmds, n_lits, block_len,
                       *, block_size: int, sup: int = DEFAULT_SUP,
-                      wr: int | None = None, interpret: bool = False):
+                      wr: int | None = None, interpret: bool = False,
+                      grid_mode: str = "flat"):
     """Host-array convenience wrapper: picks the window bucket on device,
     then decodes.  Raises if the stream is denser than any bucket."""
     count = jnp.asarray(np.asarray(count, np.int32))
     lit_len = jnp.asarray(np.asarray(lit_len, np.int32))
     n_cmds = jnp.asarray(np.asarray(n_cmds, np.int32))
-    if wr is None:
+    if grid_mode == "flat":
+        wr = 1                       # unused by the whole-block launch
+    elif wr is None:
         mx = int(max_events_per_sup(count, lit_len, n_cmds,
                                     block_size=block_size, sup=sup))
         wr = pick_wr(mx)
@@ -340,4 +586,5 @@ def decode_planar_sup(sym, count, lit_len, lits, n_cmds, n_lits, block_len,
         jnp.asarray(np.asarray(lits, np.uint8)), n_cmds,
         jnp.asarray(np.asarray(n_lits, np.int32)),
         jnp.asarray(np.asarray(block_len, np.int32)),
-        block_size=block_size, sup=sup, wr=wr, interpret=interpret)
+        block_size=block_size, sup=sup, wr=wr, interpret=interpret,
+        grid_mode=grid_mode)

@@ -125,6 +125,25 @@ def test_wr_bucket_sufficiency():
     assert decode_sup.pick_wr(worst) is not None
 
 
+def test_grid_modes_agree():
+    """Block-grid (v6 launch) and supertile-grid (v5 launch) decode the
+    same columns identically."""
+    rng = np.random.default_rng(7)
+    BB = 16384
+    data = rng.integers(0, 4, (3, BB)).astype(np.uint8)
+    data[rng.random(data.shape) < 0.8] = 0
+    lens = np.asarray([BB, BB - 3000, 17], np.int32)
+    for b in range(3):
+        data[b, lens[b]:] = 0
+    cols = _cols(np.stack(data), lens, BB)
+    outs = [np.asarray(decode_sup.decode_planar_sup(
+        *cols, lens, block_size=BB, interpret=True, grid_mode=g))
+        for g in ("flat", "block", "sup")]
+    want = data.copy()
+    for o in outs:
+        np.testing.assert_array_equal(o, want)
+
+
 def test_block_size_guard():
     with pytest.raises(AssertionError):
         decode_sup.decode_columns_device(
