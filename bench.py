@@ -165,14 +165,8 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
     log(f"H2D (columns, {csize >> 20} MiB): {h2d:.2f} GB/s of decoded size")
 
     # --- decode kernel: compressed columns (HBM) -> bytes (HBM) ---
-    mx = int(decode_sup.max_events_per_sup(dev[1], dev[2], dev[4],
-                                           block_size=block))
-    wr = decode_sup.pick_wr(mx)
-    log(f"max events/supertile: {mx} -> window rows {wr}")
-
     def dec():
-        return decode_sup.decode_columns_device(
-            *dev, block_size=block, wr=wr)
+        return decode_sup.decode_columns_device(*dev, block_size=block)
 
     t0 = time.perf_counter()
     out = dec()
@@ -203,7 +197,7 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
     d2 = [jax.device_put(jnp.asarray(v)) for v in
           (pc2[0][:, :cap_used], pc2[1][:, :cap_used], pc2[2][:, :cap_used],
            pc2[3], pc2[4], pc2[5], pc2[6])]
-    out2 = decode_sup.decode_columns_device(*d2, block_size=block, wr=wr)
+    out2 = decode_sup.decode_columns_device(*d2, block_size=block)
     _ = np.asarray(out2[0, :1])
     e2e = n / (time.perf_counter() - t0 - fetch) / 1e9
     results["decode_e2e_gbps"] = e2e

@@ -487,4 +487,193 @@ int unpack_container_batch(
   });
 }
 
+// ---------------------------------------------------------------------------
+// MMTF 128/256 transform (formats/mmtf.py golden; format per mmtf.c:112-380):
+// `lanes` independent MTF-of-256 byte streams, trailing partial block looked
+// up without updating the history.  A position table makes the find O(1) and
+// the move O(depth); lanes parallelize over the thread pool.
+// ---------------------------------------------------------------------------
+
+int hsrk_mmtf(const uint8_t *in, int64_t n, int64_t lanes, int encode,
+              uint8_t *out) {
+  if (n <= 0) return 0;
+  const int64_t full = n / lanes * lanes;
+  return parallel_blocks(lanes, [&](int64_t lane) -> int {
+    uint8_t hist[256], pos[256];
+    for (int i = 0; i < 256; i++) hist[i] = pos[i] = (uint8_t)i;
+    for (int64_t i = lane; i < full; i += lanes) {
+      if (encode) {
+        const uint8_t v = in[i];
+        const int d = pos[v];
+        out[i] = (uint8_t)d;
+        for (int k = d; k > 0; k--) {
+          hist[k] = hist[k - 1];
+          pos[hist[k]] = (uint8_t)k;
+        }
+        hist[0] = v;
+        pos[v] = 0;
+      } else {
+        const int d = in[i];
+        const uint8_t v = hist[d];
+        out[i] = v;
+        for (int k = d; k > 0; k--) {
+          hist[k] = hist[k - 1];
+          pos[hist[k]] = (uint8_t)k;
+        }
+        hist[0] = v;
+        pos[v] = 0;
+      }
+    }
+    const int64_t tail = full + lane;   // history lookup, no update
+    if (tail < n) out[tail] = encode ? pos[in[tail]] : hist[in[tail]];
+    return 0;
+  });
+}
+
+// ---------------------------------------------------------------------------
+// Low Entropy decode body (formats/low_entropy.py golden; format per
+// rle8_low_entropy_cpu.c:610-928): every compressed byte is a literal, an
+// RLE-enabled byte is followed by one count byte mapping through the
+// symbolsByProb permutation.  `out` must have >= want + 255 bytes.
+// Returns 0 and sets *p_end, or 1 on a truncated stream.
+// ---------------------------------------------------------------------------
+
+int hsrk_le_decode(const uint8_t *buf, int64_t buf_len, int64_t p0,
+                   const uint8_t *rle, const int32_t *stc,
+                   uint8_t *out, int64_t want, int64_t *p_end,
+                   int64_t *o_end) {
+  int64_t p = p0, o = 0;
+  while (o < want) {
+    if (p >= buf_len) return 1;
+    const uint8_t b = buf[p++];
+    out[o++] = b;
+    if (rle[b]) {
+      if (p >= buf_len) return 1;
+      const int32_t c = stc[buf[p++]];
+      if (c) {
+        memset(out + o, b, (size_t)c);
+        o += c;
+      }
+    }
+  }
+  *p_end = p;
+  *o_end = o;     // may overshoot `want` by a trailing run (callers carry it)
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// RLE8 SH decode (formats/sh.py golden; format per rle_sh.c:509-660):
+// forward byte stream + backward bit header from the claimed compressed
+// size; 3-symbol adaptive recency model.  `out` must have out_cap bytes;
+// returns 0 (done), 1 (truncated/overflow).
+// ---------------------------------------------------------------------------
+
+namespace {
+struct ShBits {
+  const uint8_t *buf;
+  int64_t csize, bpos;
+  int bbit;
+  bool ok;
+  int read1() {
+    if (bpos >= csize) { ok = false; return 0; }
+    const int b = (buf[csize - 1 - bpos] >> bbit) & 1;
+    if (++bbit == 8) { bbit = 0; bpos++; }
+    return b;
+  }
+};
+}  // namespace
+
+int hsrk_sh_decode(const uint8_t *buf, int64_t csize, int64_t usize,
+                   uint8_t *out, int64_t out_cap) {
+  const int MIN_COPY = 7, MIN_RLE = 14, MIN_ENC_COPY = 161;
+  uint8_t last_rle = 0x7F, second = 0x80, third = 0x7E, last_occured = 0x80;
+  ShBits bits{buf, csize, 0, 0, true};
+  int64_t p = 8, o = 0;
+
+  auto emit_sym = [&](int64_t &o) -> bool {   // the 4-way symbol code
+    if (bits.read1() == 0) {
+      out[o++] = last_rle;
+    } else if (bits.read1() == 0) {
+      if (p >= csize) return false;
+      const uint8_t sym = buf[p++];
+      if (sym == last_occured) { third = second; second = sym; }
+      last_occured = sym;
+      out[o++] = sym;
+    } else if (bits.read1() == 0) {
+      out[o++] = second;
+      last_occured = second;
+    } else {
+      out[o++] = third;
+      last_occured = third;
+    }
+    return bits.ok;
+  };
+
+  while (o < usize) {
+    int ones = 0;
+    while (ones < 5 && bits.read1() == 1) ones++;
+    if (!bits.ok) return 1;
+    if (ones < 4) {                       // single symbol via recency model
+      if (o + 1 > out_cap) return 1;
+      if (ones == 0) {
+        out[o++] = last_rle;
+      } else if (ones == 1) {
+        if (p >= csize) return 1;
+        const uint8_t sym = buf[p++];
+        if (sym == last_occured) { third = second; second = sym; }
+        last_occured = sym;
+        out[o++] = sym;
+      } else if (ones == 2) {
+        out[o++] = second;
+        last_occured = second;
+      } else {
+        out[o++] = third;
+        last_occured = third;
+      }
+    } else if (ones == 4) {               // rle small
+      if (p >= csize) return 1;
+      const int64_t cnt = (int64_t)buf[p++] + MIN_RLE;
+      if (o + cnt > out_cap) return 1;
+      memset(out + o, last_rle, (size_t)cnt);
+      o += cnt;
+    } else {
+      const int b5 = bits.read1(), b6 = bits.read1();
+      if (!bits.ok) return 1;
+      if (b6 == 0 && b5 == 0) {           // copy small
+        if (p >= csize) return 1;
+        const int64_t cnt = (int64_t)buf[p++] + MIN_COPY;
+        if (p + cnt > csize || o + cnt > out_cap) return 1;
+        memcpy(out + o, buf + p, (size_t)cnt);
+        p += cnt; o += cnt;
+      } else if (b6 == 0 && b5 == 1) {    // copy large / terminator
+        if (p + 4 > csize) return 1;
+        uint32_t v;
+        memcpy(&v, buf + p, 4); p += 4;
+        if (v == 0) break;
+        const int64_t cnt = (int64_t)v + MIN_COPY;
+        if (p + cnt > csize || o + cnt > out_cap) return 1;
+        memcpy(out + o, buf + p, (size_t)cnt);
+        p += cnt; o += cnt;
+      } else if (b6 == 1 && b5 == 0) {    // rle large (uint32 wrap)
+        if (p + 5 > csize) return 1;
+        uint32_t v;
+        memcpy(&v, buf + p, 4); p += 4;
+        const uint8_t sym = buf[p++];
+        last_rle = sym;
+        const int64_t cnt = (int64_t)(uint32_t)(v + (uint32_t)MIN_RLE);
+        if (o + cnt > out_cap) return 1;
+        memset(out + o, sym, (size_t)cnt);
+        o += cnt;
+      } else {                            // encoded copy
+        if (p >= csize) return 1;
+        const int64_t cnt = (int64_t)buf[p++] + MIN_ENC_COPY;
+        if (o + cnt > out_cap) return 1;
+        for (int64_t k = 0; k < cnt; k++)
+          if (!emit_sym(o)) return 1;
+      }
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

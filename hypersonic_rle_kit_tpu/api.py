@@ -188,17 +188,6 @@ def compress(data, codec: str | int | spec_mod.CodecSpec = "8 Bit", *,
         cspec.index, arr.size, block_size, min_count, *cols)
 
 
-def _sup_for(block_size: int) -> int | None:
-    """Largest supported supertile size dividing ``block_size``."""
-    from .ops import decode_sup
-    if block_size > decode_sup.MAX_BLOCK:
-        return None
-    for s in (4096, 2048, 1024, 512, 256, 128):
-        if block_size % s == 0:
-            return s
-    return None
-
-
 def decompress(buf, *, backend: str = "auto") -> bytes:
     """Decompress an HRT1 container.
 
@@ -225,15 +214,12 @@ def decompress(buf, *, backend: str = "auto") -> bytes:
         backend = "kernel" if jax.default_backend() == "tpu" else "device"
     if backend == "kernel":
         from .ops import decode_sup
-        sup = _sup_for(info.block_size)
         y = None
-        if sup is not None:
-            try:
-                y = np.asarray(decode_sup.decode_planar_sup(
-                    sym, count, lit_len, lits, n_cmds, n_lits, block_len,
-                    block_size=info.block_size, sup=sup))
-            except ValueError:        # denser than any window bucket
-                y = None
+        if (info.block_size % 128 == 0
+                and info.block_size <= decode_sup.MAX_BLOCK):
+            y = np.asarray(decode_sup.decode_planar_sup(
+                sym, count, lit_len, lits, n_cmds, n_lits, block_len,
+                block_size=info.block_size))   # whole-block flat launch
         backend = "done" if y is not None else "device"  # XLA fallback
     if backend == "done":
         pass

@@ -175,6 +175,12 @@ def le_decompress(buf, *, short: bool = False) -> bytes:
     stc = _symbol_to_count(buf[p:p + nsym])
     p += nsym
 
+    from ..utils import native
+    buf_np = np.empty(usize + 256, np.uint8)
+    res = native.le_decode_into(buf, p, rle, stc, buf_np, usize)
+    if res is not None:
+        return buf_np[:usize].tobytes()
+
     out = bytearray()
     while len(out) < usize:
         b = buf[p]; p += 1
@@ -230,9 +236,30 @@ def rle8m_decompress(buf) -> bytes:
     p += nsym
 
     sub = usize // subs
-    out = bytearray()
     bounds = offsets + [csize]
     sizes = [sub] * (subs - 1) + [usize - sub * (subs - 1)]
+
+    from ..utils import native
+    if native.lib() is not None and subs < (1 << 20):
+        # each section produces >= sizes[k] bytes from the current cursor
+        # (a trailing run may overshoot by up to 254; the serial loop keeps
+        # the overshoot and the final [:usize] trim discards the excess)
+        outn = np.empty(usize + 256 * (subs + 1), np.uint8)
+        o, pn, ok = 0, p, True
+        for k in range(subs):
+            res = native.le_decode_into(buf, pn, rle, stc, outn[o:],
+                                        sizes[k])
+            if res is None:
+                ok = False
+                break
+            pn, produced = res
+            o += produced
+            if k < subs - 1:
+                pn = bounds[k]
+        if ok:
+            return outn[:usize].tobytes()
+
+    out = bytearray()
     for k in range(subs):
         want = len(out) + sizes[k]
         while len(out) < want:

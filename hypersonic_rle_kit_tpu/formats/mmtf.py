@@ -47,6 +47,10 @@ def _mmtf(data, lanes: int, encode: bool) -> bytes:
     n = int(arr.size)
     if n == 0:
         return b""
+    from ..utils import native
+    fast = native.mmtf(arr.tobytes(), lanes, encode)
+    if fast is not None:
+        return fast
     full = n // lanes * lanes
     out = np.empty(n, np.uint8)
     hists = []

@@ -286,6 +286,10 @@ def sh_decompress(buf) -> bytes:
     buf = buf[:csize]
     if usize == 0:
         return b""
+    from ..utils import native
+    fast = native.sh_decode(buf, len(buf), usize)
+    if fast is not None:        # None: lib unavailable or malformed stream
+        return fast
     # the bit header sits after the forward stream; its start is not stored,
     # so parse bits from the end backward: reconstruct by scanning from the
     # back while tracking the forward cursor.  We find the header start by

@@ -372,22 +372,54 @@ def _decode_body_flat(blen_ref, ev_ref, lits_ref, tri_ref, out_ref, acc_ref,
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (ROW, R), 1)
     dn = (((0,), (0,)), ((), ()))
 
+    W = 48                    # paint window rows (8-aligned slack included)
+    rows_iota_w = jax.lax.broadcasted_iota(jnp.int32, (ROW, min(W, R)), 1)
+
     acc_ref[...] = jnp.zeros((R, ROW), jnp.float32)
     tw = jnp.swapaxes(ev_ref[0], 0, 1)             # [128, ERp]
     for k in range(ERp):
         w = tw[:, k:k + 1]                         # [128, 1]
         pos = jax.lax.shift_right_logical(w, _POS_SHIFT)
-        val = jnp.where(pos < R * ROW, (w & _VAL_MASK) - _VAL_OFF, 0)
+        valid = pos < R * ROW
+        val = jnp.where(valid, (w & _VAL_MASK) - _VAL_OFF, 0)
         live = jnp.any(val != 0)
 
-        @pl.when(live)
-        def _():
+        def paint_full():
             rowm = ((pos >> 7) == rows_iota).astype(jnp.bfloat16)
             lm = ((pos & 127) == lane128).astype(jnp.bfloat16)
             bs = lm * val.astype(jnp.bfloat16)
             acc_ref[...] += jax.lax.dot_general(
                 rowm, bs, dimension_numbers=dn,
                 preferred_element_type=jnp.float32)
+
+        if R <= W:
+            @pl.when(live)
+            def _():
+                paint_full()
+            continue
+
+        # events are position-sorted, so one row's 128 events usually span
+        # a narrow output range: paint into a W-row window of the
+        # accumulator (O(W) per event row instead of O(R)); rows whose
+        # span exceeds the window take the full-width path.
+        pmin = jnp.min(jnp.where(valid, pos, R * ROW))
+        pmax = jnp.max(jnp.where(valid, pos, 0))
+        r0 = jnp.clip((pmin >> 7) & ~7, 0, R - W)
+        span_ok = (pmax >> 7) < r0 + W
+
+        @pl.when(live & span_ok)
+        def _():
+            rowm = (((pos >> 7) - r0) == rows_iota_w).astype(jnp.bfloat16)
+            lm = ((pos & 127) == lane128).astype(jnp.bfloat16)
+            bs = lm * val.astype(jnp.bfloat16)
+            r0a = pl.multiple_of(r0, 8)
+            acc_ref[pl.ds(r0a, W), :] += jax.lax.dot_general(
+                rowm, bs, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+
+        @pl.when(live & jnp.logical_not(span_ok))
+        def _():
+            paint_full()
 
     def row_scan(x_i32):
         c = jax.lax.dot_general(

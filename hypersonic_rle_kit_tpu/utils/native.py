@@ -54,6 +54,9 @@ def lib():
     L.hsrk_rle8_compress.restype = ctypes.c_uint32
     L.hsrk_rle8_decompress.restype = ctypes.c_uint32
     L.unpack_container_batch.restype = ctypes.c_int
+    L.hsrk_mmtf.restype = ctypes.c_int
+    L.hsrk_le_decode.restype = ctypes.c_int
+    L.hsrk_sh_decode.restype = ctypes.c_int
     _lib = L
     return _lib
 
@@ -196,6 +199,61 @@ def unpack_container(payload: np.ndarray, payload_off, n_cmds, n_lits,
     if rc != 0:
         raise RuntimeError(f"unpack_container_batch rc={rc}")
     return sym, count, lit_len, lits
+
+
+def mmtf(data: bytes, lanes: int, encode: bool) -> bytes | None:
+    """Native Multi-MTF transform (mmtf.c semantics); None if the library
+    is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    inp = np.frombuffer(data, np.uint8)
+    out = np.empty(inp.size, np.uint8)
+    L.hsrk_mmtf(ctypes.c_void_p(inp.ctypes.data), ctypes.c_int64(inp.size),
+                ctypes.c_int64(lanes), ctypes.c_int(1 if encode else 0),
+                _ptr(out))
+    return out.tobytes()
+
+
+def le_decode_into(buf: bytes, p0: int, rle: np.ndarray, stc: np.ndarray,
+                   out: np.ndarray, want: int):
+    """Native Low Entropy body decode into ``out`` (a uint8 view with
+    >= want + 255 bytes): returns (p_end, produced) -- ``produced`` may
+    overshoot ``want`` by one trailing run, which rle8m sections carry --
+    or None (library unavailable / truncated stream)."""
+    L = lib()
+    if L is None:
+        return None
+    inp = np.frombuffer(buf, np.uint8)
+    p_end = ctypes.c_int64(0)
+    o_end = ctypes.c_int64(0)
+    rc = L.hsrk_le_decode(
+        ctypes.c_void_p(inp.ctypes.data), ctypes.c_int64(inp.size),
+        ctypes.c_int64(p0),
+        _ptr(np.ascontiguousarray(rle, np.uint8)),
+        _ptr(np.ascontiguousarray(stc, np.int32)),
+        _ptr(out), ctypes.c_int64(want), ctypes.byref(p_end),
+        ctypes.byref(o_end))
+    if rc != 0:
+        return None
+    return int(p_end.value), int(o_end.value)
+
+
+def sh_decode(buf: bytes, csize: int, usize: int) -> bytes | None:
+    """Native RLE8-SH decode; None if unavailable or the stream is
+    malformed (caller falls back to the golden Python decoder)."""
+    L = lib()
+    if L is None:
+        return None
+    inp = np.frombuffer(buf, np.uint8)
+    cap = usize + (1 << 16)
+    out = np.empty(cap, np.uint8)
+    rc = L.hsrk_sh_decode(
+        ctypes.c_void_p(inp.ctypes.data), ctypes.c_int64(csize),
+        ctypes.c_int64(usize), _ptr(out), ctypes.c_int64(cap))
+    if rc != 0:
+        return None
+    return out[:usize].tobytes()
 
 
 def rle8_compress(data: bytes) -> bytes | None:
