@@ -111,6 +111,48 @@ def analyze(data: bytes) -> None:
               f"{cover:>10.1f}% | {distinct:>13}")
 
 
+def timed_loop(fn, runs: int, min_time: float, test_mode: bool):
+    """Reference timing discipline (main.c:825-905): one dry run, then
+    timed repetitions until both ``runs`` samples and ``min_time`` seconds
+    are reached, with a 100 ms cooldown sleep every 10 runs.  Returns
+    (result, avg_s, min_s, stddev_s)."""
+    t0 = time.perf_counter()
+    result = fn()
+    dry = time.perf_counter() - t0
+    if test_mode:                       # --test skips the timing loop
+        return result, dry, dry, 0.0
+    samples = [dry]
+    total = dry
+    while len(samples) < runs or total < min_time:
+        if len(samples) % 10 == 0:
+            time.sleep(0.1)             # cooldown (main.c:869)
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        samples.append(dt)
+        total += dt
+        if total > max(min_time * 4, 10.0):   # runaway guard
+            break
+    arr = np.asarray(samples)
+    return result, float(arr.mean()), float(arr.min()), float(arr.std())
+
+
+def _row(name, data, mib, comp_fn, dec_fn, args):
+    comp, e_avg, e_min, e_sd = timed_loop(
+        lambda: comp_fn(data), args.runs, args.min_time, args.test)
+    dec, d_avg, d_min, d_sd = timed_loop(
+        lambda: dec_fn(comp), args.runs, args.min_time, args.test)
+    ok = dec == data
+    ratio = len(comp) / max(len(data), 1) * 100
+    ent = shannon_entropy_ratio(comp) * ratio
+    status = "" if ok else "  [FAILED]"
+    print(f"{name:<31}| {ratio:6.2f} % | {mib/e_avg:8.1f} "
+          f"({mib/e_min:8.1f} ± {mib/e_avg**2*e_sd:6.1f}) "
+          f"| {mib/d_avg:8.1f} ({mib/d_min:8.1f} ± {mib/d_avg**2*d_sd:6.1f}) "
+          f"| {ent:6.2f} %{status}")
+    return ok
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="hsrlekit-tpu")
     ap.add_argument("file")
@@ -125,52 +167,56 @@ def main(argv=None):
     ap.add_argument("--x-size", type=int, default=None)
     ap.add_argument("--lut-size", type=int, default=None)
     ap.add_argument("--codec", action="append", default=None)
+    ap.add_argument("--tier", choices=("auto", "python"), default="auto",
+                    help="force the host implementation tier: 'python' "
+                         "disables the native runtime (the --max-simd "
+                         "analog, main.c:172-282)")
+    ap.add_argument("--hrt1", action="store_true",
+                    help="add HRT1 container rows (api.compress/decompress "
+                         "through the device pipeline)")
     args = ap.parse_args(argv)
+
+    if args.tier == "python":
+        from .utils import native
+        native.disable()
 
     with open(args.file, "rb") as f:
         data = f.read()
     if args.max:
         data = data[: int(args.max * (1 << 20))]
     mib = len(data) / (1 << 20)
-    print(f"{args.file}: {len(data)} bytes ({mib:.2f} MiB)", file=sys.stderr)
+    print(f"{args.file}: {len(data)} bytes ({mib:.2f} MiB), "
+          f"tier={args.tier}", file=sys.stderr)
 
     if args.analyze:
         analyze(data)
         return 0
 
-    print(f"{'Codec':<31}| Ratio    | Encoder    | Decoder    | Compressible To")
+    print(f"{'Codec':<31}| Ratio    | Encoder avg (max ± sd) MiB/s "
+          f"| Decoder avg (max ± sd) MiB/s | Compressible To")
     failed = False
     for s in spec_mod.REGISTRY:
         if not matches(s, args):
             continue
         try:
-            t0 = time.perf_counter()
-            comp = registry.compress(data, s)
-            enc_t = time.perf_counter() - t0
-            reps = 0
-            while reps < args.runs - 1 or enc_t < args.min_time:
-                t0 = time.perf_counter()
-                registry.compress(data, s)
-                dt = time.perf_counter() - t0
-                enc_t = min(enc_t, dt)
-                reps += 1
-                if reps >= args.runs - 1 and not args.test:
-                    break
-                if args.test:
-                    break
-            t0 = time.perf_counter()
-            dec = registry.decompress(comp, s)
-            dec_t = time.perf_counter() - t0
-            ok = dec == data
-            failed |= not ok
-            ratio = len(comp) / max(len(data), 1) * 100
-            ent = shannon_entropy_ratio(comp) * ratio
-            status = "" if ok else "  [FAILED]"
-            print(f"{s.name:<31}| {ratio:6.2f} % | {mib/enc_t:7.1f} MiB/s "
-                  f"| {mib/dec_t:7.1f} MiB/s | {ent:6.2f} %{status}")
+            failed |= not _row(s.name, data, mib,
+                               lambda d, s=s: registry.compress(d, s),
+                               lambda c, s=s: registry.decompress(c, s),
+                               args)
         except Exception as e:  # pragma: no cover
             failed = True
             print(f"{s.name:<31}| ERROR: {e}")
+    if args.hrt1:
+        from . import api
+        for cname in (args.codec or ["8 Bit", "32 Bit (Symbol)"]):
+            try:
+                failed |= not _row(
+                    f"HRT1 {cname}", data, mib,
+                    lambda d, c=cname: api.compress(d, c),
+                    lambda b: api.decompress(b), args)
+            except Exception as e:  # pragma: no cover
+                failed = True
+                print(f"HRT1 {cname:<26}| ERROR: {e}")
     return 1 if (args.test and failed) else 0
 
 

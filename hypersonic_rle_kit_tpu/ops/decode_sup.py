@@ -353,7 +353,13 @@ def _decode_body_bg(rs8_ref, carry_ref, lit0_ref, blen_ref,
             jnp.where(in_len, out, 0)
 
 
-def _decode_body_flat(blen_ref, ev_ref, lits_ref, tri_ref, out_ref, acc_ref,
+PAINT_W = 48                  # windowed-paint rows (8-aligned slack incl.)
+_CODE_DEAD = -1               # event row has no live events
+_CODE_FULL = -2               # events span wider than the window
+
+
+def _decode_body_flat(code_ref, blen_ref, ev_ref, lits_ref, tri_ref,
+                      out_ref, acc_ref, acc2_ref, acc3_ref, acc4_ref,
                       *, ERp: int, R: int, interpret: bool, stage: int = 3):
     """Whole-block body: grid = (nb,), no supertiles.
 
@@ -372,72 +378,87 @@ def _decode_body_flat(blen_ref, ev_ref, lits_ref, tri_ref, out_ref, acc_ref,
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (ROW, R), 1)
     dn = (((0,), (0,)), ((), ()))
 
-    W = 48                    # paint window rows (8-aligned slack included)
+    W = PAINT_W
     rows_iota_w = jax.lax.broadcasted_iota(jnp.int32, (ROW, min(W, R)), 1)
 
-    acc_ref[...] = jnp.zeros((R, ROW), jnp.float32)
-    tw = jnp.swapaxes(ev_ref[0], 0, 1)             # [128, ERp]
-    for k in range(ERp):
-        w = tw[:, k:k + 1]                         # [128, 1]
-        pos = jax.lax.shift_right_logical(w, _POS_SHIFT)
-        valid = pos < R * ROW
-        val = jnp.where(valid, (w & _VAL_MASK) - _VAL_OFF, 0)
-        live = jnp.any(val != 0)
+    accs = (acc_ref, acc2_ref, acc3_ref, acc4_ref)
+    for a in accs:
+        a[...] = jnp.zeros((R, ROW), jnp.float32)
+    if stage == 0:                     # profiling: prep + launch + IO only
+        out_ref[0] = jnp.full((R, ROW), blen & 0xFF, jnp.uint8)
+        return
 
-        def paint_full():
-            rowm = ((pos >> 7) == rows_iota).astype(jnp.bfloat16)
-            lm = ((pos & 127) == lane128).astype(jnp.bfloat16)
-            bs = lm * val.astype(jnp.bfloat16)
-            acc_ref[...] += jax.lax.dot_general(
+    # decode the event words once as whole-plane ops, then transpose so the
+    # per-row loop below only slices columns (a [128,1] chain per event row
+    # was the dominant kernel cost on hardware)
+    ev = ev_ref[0]                                   # [ERp, 128] i32
+    pos_p = jax.lax.shift_right_logical(ev, _POS_SHIFT)
+    val_p = jnp.where(pos_p < R * ROW, (ev & _VAL_MASK) - _VAL_OFF, 0)
+    t_row = jnp.swapaxes(pos_p >> 7, 0, 1)           # [128, ERp]
+    t_lane = jnp.swapaxes(pos_p & 127, 0, 1)
+    t_val = jnp.swapaxes(val_p.astype(jnp.bfloat16), 0, 1)
+
+    for k in range(ERp):
+        # window selection is precomputed in XLA prep and prefetched:
+        # -1 = no live events (skip), -2 = span wider than the window
+        # (full-width paint), else the 8-aligned window start row
+        code = code_ref[b, k]
+        # rotate accumulators so consecutive rows' read-modify-writes
+        # don't serialize on one buffer (summed once after the loop)
+        acc = accs[k % 4]
+
+        def paint(rows, r0=None):
+            rel = t_row[:, k:k + 1]
+            if r0 is not None:
+                rel = rel - r0
+            rowm = (rel == rows).astype(jnp.bfloat16)
+            lm = (t_lane[:, k:k + 1] == lane128).astype(jnp.bfloat16)
+            bs = lm * t_val[:, k:k + 1]
+            return jax.lax.dot_general(
                 rowm, bs, dimension_numbers=dn,
                 preferred_element_type=jnp.float32)
 
         if R <= W:
-            @pl.when(live)
+            @pl.when(code != _CODE_DEAD)
             def _():
-                paint_full()
+                acc[...] += paint(rows_iota)
             continue
 
         # events are position-sorted, so one row's 128 events usually span
         # a narrow output range: paint into a W-row window of the
-        # accumulator (O(W) per event row instead of O(R)); rows whose
-        # span exceeds the window take the full-width path.
-        pmin = jnp.min(jnp.where(valid, pos, R * ROW))
-        pmax = jnp.max(jnp.where(valid, pos, 0))
-        r0 = jnp.clip((pmin >> 7) & ~7, 0, R - W)
-        span_ok = (pmax >> 7) < r0 + W
-
-        @pl.when(live & span_ok)
+        # accumulator (O(W) per event row instead of O(R))
+        @pl.when(code >= 0)
         def _():
-            rowm = (((pos >> 7) - r0) == rows_iota_w).astype(jnp.bfloat16)
-            lm = ((pos & 127) == lane128).astype(jnp.bfloat16)
-            bs = lm * val.astype(jnp.bfloat16)
-            r0a = pl.multiple_of(r0, 8)
-            acc_ref[pl.ds(r0a, W), :] += jax.lax.dot_general(
-                rowm, bs, dimension_numbers=dn,
-                preferred_element_type=jnp.float32)
+            r0 = pl.multiple_of(code, 8)
+            acc[pl.ds(r0, W), :] += paint(rows_iota_w, code)
 
-        @pl.when(live & jnp.logical_not(span_ok))
+        @pl.when(code == _CODE_FULL)
         def _():
-            paint_full()
+            acc[...] += paint(rows_iota)
 
     def row_scan(x_i32):
         c = jax.lax.dot_general(
             x_i32.astype(jnp.bfloat16), tri_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(jnp.int32)
-        tot = c[:, ROW - 1:ROW]
-        acc = tot
-        rr = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        tot = c[:, ROW - 1:ROW]            # [R, 1] row totals
+        # cross-row carry in lane-major layout: [R,1] keeps 1/128 of each
+        # vreg busy and the log-step chain is R/8 vregs deep; transposed to
+        # [1,R] the same scan runs on dense vregs
+        tt = jnp.swapaxes(tot, 0, 1)       # [1, R]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
         for bb in range((R - 1).bit_length()):
-            acc = acc + jnp.where(rr >= (1 << bb), roll(acc, 1 << bb, 0), 0)
+            tt = tt + jnp.where(lane >= (1 << bb), roll(tt, 1 << bb, 1), 0)
+        acc = jnp.swapaxes(tt, 0, 1)       # [R, 1] inclusive row prefix
         return c + (acc - tot)
 
+    painted = ((acc_ref[...] + acc2_ref[...])
+               + (acc3_ref[...] + acc4_ref[...])).astype(jnp.int32)
     if stage == 1:                     # profiling: paint only
-        out_ref[0] = (acc_ref[...].astype(jnp.int32) & 0xFF).astype(jnp.uint8)
+        out_ref[0] = (painted & 0xFF).astype(jnp.uint8)
         return
 
-    cum = row_scan(acc_ref[...].astype(jnp.int32))
+    cum = row_scan(painted)
     cov = cum >= 1
     sym_exp = ((cum - 1) & 0xFF).astype(jnp.uint8)
 
@@ -503,10 +524,23 @@ def decode_columns_device(sym, count, lit_len, lits, n_cmds, n_lits,
         lits_pad = (lits[:, :R * ROW] if lw >= R * ROW
                     else jnp.pad(lits, ((0, 0), (0, R * ROW - lw))))
         lits3 = lits_pad.reshape(nb, R, ROW)
+
+        # per-event-row paint windows, computed here so the kernel's paint
+        # loop is branch-on-scalar only (kernel docstring)
+        pos3 = jax.lax.shift_right_logical(ev3, _POS_SHIFT)
+        valid3 = pos3 < R * ROW
+        live3 = jnp.any(valid3 & ((ev3 & _VAL_MASK) != _VAL_OFF), axis=-1)
+        pmin = jnp.min(jnp.where(valid3, pos3, R * ROW), axis=-1)
+        pmax = jnp.max(jnp.where(valid3, pos3, 0), axis=-1)
+        r0 = jnp.clip((pmin >> 7) & ~7, 0, max(R - PAINT_W, 0))
+        full = (pmax >> 7) >= r0 + PAINT_W
+        code = jnp.where(~live3, _CODE_DEAD,
+                         jnp.where(full, _CODE_FULL, r0)).astype(jnp.int32)
+
         kernel = functools.partial(_decode_body_flat, ERp=ERp, R=R,
                                    interpret=interpret, stage=stage)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(nb,),
             in_specs=[
                 pl.BlockSpec((1, ERp, ROW), lambda b, *_: (b, 0, 0)),
@@ -514,14 +548,14 @@ def decode_columns_device(sym, count, lit_len, lits, n_cmds, n_lits,
                 pl.BlockSpec((ROW, ROW), lambda b, *_: (0, 0)),
             ],
             out_specs=pl.BlockSpec((1, R, ROW), lambda b, *_: (b, 0, 0)),
-            scratch_shapes=[pltpu.VMEM((R, ROW), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((R, ROW), jnp.float32)] * 4,
         )
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nb, R, ROW), jnp.uint8),
             interpret=interpret,
-        )(block_len, ev3, lits3, tri)
+        )(code, block_len, ev3, lits3, tri)
         return out.reshape(nb, B)
 
     e_start, carry, lit0 = _sup_tables(pos, val, n_lits.astype(jnp.int32),

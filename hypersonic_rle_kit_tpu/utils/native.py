@@ -31,11 +31,24 @@ def _build() -> bool:
         return False
 
 
+def disable() -> None:
+    """Force the pure-Python tier (the --max-simd analog: the reference
+    masks its CPU-feature globals after detection, main.c:172-282)."""
+    global _lib, _tried
+    _lib, _tried = None, True
+
+
 def lib():
-    """Load (building if needed) the native library; None if unavailable."""
+    """Load (building if needed) the native library; None if unavailable.
+    ``HSRK_NO_NATIVE=1`` forces the pure-Python tier (the CI analog of the
+    reference's --max-simd dispatch fault injection, gcc.yml:50-240)."""
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
+    import os
+    if os.environ.get("HSRK_NO_NATIVE") == "1":
+        _tried = True
+        return None
     _tried = True
     if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
         if not _build():
