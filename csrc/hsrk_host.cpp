@@ -4,6 +4,8 @@
 // C ABI for ctypes (no pybind11 in this environment):
 //  - planar_from_bytes: run detection + planar command build (the host
 //    encoder for the HRT1 container);
+//  - hsrk_mmtf / hsrk_le_decode / hsrk_sh_decode: fast host decoders for
+//    the MMTF / Low Entropy / SH families (Python goldens pin parity);
 //  - unpack_container_batch: HRT1 payload -> planar columns (decode prep);
 //  - decode_planar_batch: threaded host block decoder;
 //  - rle8 reference-format compress/decompress (byte grammar per
@@ -111,117 +113,6 @@ inline int64_t next_run_start(const uint8_t *d, int64_t i, int64_t n,
 }  // namespace
 
 extern "C" {
-
-// ---------------------------------------------------------------------------
-// planar -> delta/lit planes (decode kernel v2, ops/decode_planes.py)
-//
-// delta[p] (int16) accumulates 256+sym at run opens and -(256+sym) at run
-// closes, split per 128-byte row and per byte-class of the symbol pattern;
-// lit[p] holds literal bytes at their final positions.  Writes are
-// O(compressed): n_lits literal bytes + ~2 entries per run-row-class.
-// ---------------------------------------------------------------------------
-
-int planes_from_planar(
-    const uint8_t *sym, const int32_t *count, const int32_t *lit_len,
-    const uint8_t *lits, const int32_t *n_cmds,
-    int64_t nb, int64_t cap, int64_t B, int64_t width,
-    int16_t *delta, uint8_t *lit_plane) {
-  const int64_t ROW = 128;
-  const int16_t OPEN = 256;
-  return parallel_blocks(nb, [&](int64_t b) -> int {
-    const uint8_t *sy = sym + b * cap * width;  // width bytes per command
-    const int32_t *ct = count + b * cap;
-    const int32_t *ll = lit_len + b * cap;
-    const uint8_t *li = lits + b * B;
-    int16_t *dl = delta + b * B;
-    uint8_t *lp_out = lit_plane + b * B;
-    int64_t pos = 0, lp = 0;
-    const int32_t nc = n_cmds[b];
-    for (int32_t c = 0; c < nc; c++) {
-      const int64_t l = ll[c];
-      memcpy(lp_out + pos, li + lp, l);
-      lp += l;
-      pos += l;
-      const int64_t n = ct[c];
-      if (!n) continue;
-      const uint8_t *pat = sy + (int64_t)c * width;
-      const int64_t a = pos, e = pos + n;
-      if (e > B) return -3;
-      int64_t s = a;
-      while (s < e) {
-        const int64_t row_end = (s / ROW + 1) * ROW;
-        const int64_t se = e < row_end ? e : row_end;
-        for (int64_t k = 0; k < width; k++) {
-          const int64_t ph = ((k - (s - a)) % width + width) % width;
-          const int64_t p0 = s + ph;
-          if (p0 >= se) continue;
-          const int16_t v = pat[k];
-          dl[p0] += OPEN + v;
-          const int64_t pe = p0 + ((se - 1 - p0) / width) * width + width;
-          if (pe < row_end) dl[pe] -= OPEN + v;
-        }
-        s = se;
-      }
-      pos = e;
-    }
-    return 0;
-  });
-}
-
-// ---------------------------------------------------------------------------
-// planar -> fused delta plane (decode kernel v3, ops/decode_planes.py)
-//
-// One uint8 plane; every output byte is the strided mod-256 row prefix sum.
-// Literal byte v: +v at its position, -v at the next same-class position in
-// the row.  Run of pattern p: +p[k] at each class open, -p[k] at the close.
-// ---------------------------------------------------------------------------
-
-int fused_delta_from_planar(
-    const uint8_t *sym, const int32_t *count, const int32_t *lit_len,
-    const uint8_t *lits, const int32_t *n_cmds,
-    int64_t nb, int64_t cap, int64_t B, int64_t width, uint8_t *delta) {
-  const int64_t ROW = 128;
-  return parallel_blocks(nb, [&](int64_t b) -> int {
-    const uint8_t *sy = sym + b * cap * width;  // width bytes per command
-    const int32_t *ct = count + b * cap;
-    const int32_t *ll = lit_len + b * cap;
-    const uint8_t *li = lits + b * B;
-    uint8_t *dl = delta + b * B;
-    int64_t pos = 0, lp = 0;
-    const int32_t nc = n_cmds[b];
-    for (int32_t c = 0; c < nc; c++) {
-      const int64_t l = ll[c];
-      for (int64_t t = 0; t < l; t++, pos++, lp++) {
-        const uint8_t v = li[lp];
-        dl[pos] += v;
-        const int64_t nxt = pos + width;
-        if (nxt / ROW == pos / ROW && nxt < B) dl[nxt] -= v;
-      }
-      const int64_t n = ct[c];
-      if (!n) continue;
-      const uint8_t *pat = sy + (int64_t)c * width;
-      const int64_t a = pos, e = pos + n;
-      if (e > B) return -3;
-      int64_t s = a;
-      while (s < e) {
-        const int64_t row_end = (s / ROW + 1) * ROW;
-        const int64_t se = e < row_end ? e : row_end;
-        for (int64_t k = 0; k < width; k++) {
-          const int64_t ph = ((k - (s - a)) % width + width) % width;
-          const int64_t p0 = s + ph;
-          if (p0 >= se) continue;
-          const uint8_t v = pat[k];
-          dl[p0] += v;
-          const int64_t pe = p0 + ((se - 1 - p0) / width) * width + width;
-          if (pe < row_end) dl[pe] -= v;
-        }
-        s = se;
-      }
-      pos = e;
-    }
-    return 0;
-  });
-}
 
 // ---------------------------------------------------------------------------
 // bytes -> planar commands (HRT1 host encoder; emission rule count >= min)

@@ -219,7 +219,8 @@ def decompress(buf, *, backend: str = "auto") -> bytes:
                 and info.block_size <= decode_sup.MAX_BLOCK):
             y = np.asarray(decode_sup.decode_planar_sup(
                 sym, count, lit_len, lits, n_cmds, n_lits, block_len,
-                block_size=info.block_size))   # whole-block flat launch
+                block_size=info.block_size,    # whole-block flat launch
+                interpret=jax.default_backend() != "tpu"))
         backend = "done" if y is not None else "device"  # XLA fallback
     if backend == "done":
         pass

@@ -8,7 +8,9 @@ that XLA can tile.
 Modules:
     planar              columnar command IR + host goldens
     device              XLA block encode/decode (vmapped, shard_map-safe)
-    decode_planes       fused Pallas decode kernels (delta-paint, MXU scan)
+    decode_sup          flagship fused Pallas decode (sorted-event paint/scan)
+    encode_sup          Pallas block encoder (boundary scan + compaction)
+    ref_device          reference-format streams -> planar -> device decode
     bitpack             1/2/3/4-bit pack/unpack (bitpack.h analog)
     mmtf_device         MMTF 128/256 + Bit-MMTF transforms on device
     low_entropy_device  Low Entropy / rle8m device decode (OpenCL analog)

@@ -509,7 +509,7 @@ def decompress_ref_device(buf, codec, *, block_size: int = DEFAULT_BLOCK,
     try:
         y = decode_sup.decode_planar_sup(
             sym, count, lit_len, lits, n_cmds, n_lits, block_len,
-            block_size=B, sup=_pick_sup(B), interpret=interpret)
+            block_size=B, interpret=interpret)
     except (ValueError, AssertionError):
         y = None
     if y is None:                      # density/shape fallback: XLA decoder
@@ -523,10 +523,3 @@ def decompress_ref_device(buf, codec, *, block_size: int = DEFAULT_BLOCK,
     nbp = builders[0].nb
     out = jnp.transpose(y.reshape(s, nbp * B)[:, :m])   # on-device interleave
     return np.asarray(out).reshape(-1)[:usize].tobytes()
-
-
-def _pick_sup(block_size: int) -> int:
-    for c in (4096, 2048, 1024, 512, 256, 128):
-        if block_size % c == 0:
-            return c
-    raise ValueError(block_size)

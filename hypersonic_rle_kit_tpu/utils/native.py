@@ -62,8 +62,6 @@ def lib():
     L.decode_planar_batch.restype = ctypes.c_int
     L.planar_from_bytes.restype = ctypes.c_int
     L.planar_from_bytes_batch.restype = ctypes.c_int
-    L.planes_from_planar.restype = ctypes.c_int
-    L.fused_delta_from_planar.restype = ctypes.c_int
     L.hsrk_rle8_compress.restype = ctypes.c_uint32
     L.hsrk_rle8_decompress.restype = ctypes.c_uint32
     L.unpack_container_batch.restype = ctypes.c_int
@@ -76,57 +74,6 @@ def lib():
 
 def _ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.c_void_p)
-
-
-def planes_from_planar(sym, count, lit_len, lits, n_cmds, width: int = 1):
-    """Native planar->delta/lit plane prep (decode kernel v2); None if the
-    native lib is unavailable.  ``sym`` is [nb, cap] (width 1) or
-    [nb, cap, width] pattern bytes; ``count`` is in bytes."""
-    L = lib()
-    if L is None:
-        return None
-    nb, cap = count.shape[:2]
-    B = lits.shape[1]
-    delta = np.zeros((nb, B), np.int16)
-    lit_plane = np.zeros((nb, B), np.uint8)
-    args = [np.ascontiguousarray(sym, np.uint8),
-            np.ascontiguousarray(count, np.int32),
-            np.ascontiguousarray(lit_len, np.int32),
-            np.ascontiguousarray(lits, np.uint8),
-            np.ascontiguousarray(n_cmds, np.int32)]
-    rc = L.planes_from_planar(
-        _ptr(args[0]), _ptr(args[1]), _ptr(args[2]), _ptr(args[3]),
-        _ptr(args[4]),
-        ctypes.c_int64(nb), ctypes.c_int64(cap), ctypes.c_int64(B),
-        ctypes.c_int64(width), _ptr(delta), _ptr(lit_plane))
-    if rc != 0:
-        raise RuntimeError(f"planes_from_planar failed rc={rc}")
-    return delta, lit_plane
-
-
-def fused_delta_from_planar(sym, count, lit_len, lits, n_cmds,
-                            width: int = 1):
-    """Native planar->fused delta plane prep (decode kernel v3); None if the
-    native lib is unavailable."""
-    L = lib()
-    if L is None:
-        return None
-    nb, cap = count.shape[:2]
-    B = lits.shape[1]
-    delta = np.zeros((nb, B), np.uint8)
-    args = [np.ascontiguousarray(sym, np.uint8),
-            np.ascontiguousarray(count, np.int32),
-            np.ascontiguousarray(lit_len, np.int32),
-            np.ascontiguousarray(lits, np.uint8),
-            np.ascontiguousarray(n_cmds, np.int32)]
-    rc = L.fused_delta_from_planar(
-        _ptr(args[0]), _ptr(args[1]), _ptr(args[2]), _ptr(args[3]),
-        _ptr(args[4]),
-        ctypes.c_int64(nb), ctypes.c_int64(cap), ctypes.c_int64(B),
-        ctypes.c_int64(width), _ptr(delta))
-    if rc != 0:
-        raise RuntimeError(f"fused_delta_from_planar failed rc={rc}")
-    return delta
 
 
 def planar_from_bytes(x: np.ndarray, lens: np.ndarray, cap: int,

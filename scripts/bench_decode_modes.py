@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
-"""Compare decode kernel launch shapes (block-grid vs supertile-grid) and
-measure the XLA-prep vs Pallas split on the real chip.
+"""Stage-profile the flat decode kernel on the real chip
+(--modes flat:0,flat:1,flat:2,flat:3 = prep/IO, +paint, +scan, full).
 
 Usage: python scripts/bench_decode_modes.py [--mib 32] [--block 65536]
 """
@@ -62,18 +62,12 @@ def run_config(args, block, jax, jnp, data):
         return float(np.median(ts))
 
     for spec in args.modes.split(","):
-        mode, _, st = spec.partition(":")
+        _, _, st = spec.partition(":")
         stage = int(st) if st else 3
-        wr = 1
-        if mode != "flat":
-            mx = int(decode_sup.max_events_per_sup(dev[1], dev[2], dev[4],
-                                                   block_size=block))
-            wr = decode_sup.pick_wr(mx)
 
         def dec():
             return decode_sup.decode_columns_device(
-                *dev, block_size=block, wr=wr, grid_mode=mode,
-                stage=stage)
+                *dev, block_size=block, stage=stage)
         t0 = time.perf_counter()
         out = dec()
         _ = np.asarray(out[0, :1])

@@ -9,7 +9,7 @@ import pytest
 
 from hypersonic_rle_kit_tpu.ops import decode_sup, planar
 
-B = 4096  # one supertile per block at sup=4096; multi-sup covered below
+B = 4096
 
 
 def _cols(blocks, lens, B, min_count=6):
@@ -20,13 +20,11 @@ def _cols(blocks, lens, B, min_count=6):
             + [np.array([o[i] for o in outs], np.int32) for i in (4, 5)])
 
 
-def _roundtrip(blocks, lens, B, sup=None, **kw):
+def _roundtrip(blocks, lens, B, **kw):
     blocks = np.stack(blocks)
     lens = np.asarray(lens, np.int32)
     cols = _cols(blocks, lens, B)
     kw.setdefault("interpret", True)
-    if sup is not None:
-        kw["sup"] = sup
     out = np.asarray(decode_sup.decode_planar_sup(
         *cols, lens, block_size=B, **kw))
     want = blocks.copy()
@@ -53,11 +51,11 @@ def test_multi_supertile_block():
     _roundtrip(list(data), [BB, BB - 5], BB)
 
 
-def test_small_sup():
+def test_small_block():
     rng = np.random.default_rng(1)
     BB = 2048
     data = rng.integers(0, 3, (2, BB)).astype(np.uint8)
-    _roundtrip(list(data), [BB, BB], BB, sup=512)
+    _roundtrip(list(data), [BB, BB], BB)
 
 
 @pytest.mark.parametrize("case", [
@@ -118,30 +116,17 @@ def test_mid_stream_zero_count_commands():
     np.testing.assert_array_equal(out[0], want)
 
 
-def test_wr_bucket_sufficiency():
-    """The largest window bucket covers the worst legal density for the
-    8-bit family (min_count 6)."""
-    worst = 2 * (decode_sup.DEFAULT_SUP // 6 + 2)
-    assert decode_sup.pick_wr(worst) is not None
-
-
-def test_grid_modes_agree():
-    """Block-grid (v6 launch) and supertile-grid (v5 launch) decode the
-    same columns identically."""
+def test_worst_density_and_ragged_tail():
+    """Worst legal density (every 6 bytes a run) plus a ragged tail block
+    decodes exactly — the dense stress the retired window buckets guarded."""
     rng = np.random.default_rng(7)
     BB = 16384
-    data = rng.integers(0, 4, (3, BB)).astype(np.uint8)
-    data[rng.random(data.shape) < 0.8] = 0
+    data = np.repeat(rng.integers(0, 251, (3, BB // 6 + 1)), 6,
+                     axis=1)[:, :BB].astype(np.uint8)
     lens = np.asarray([BB, BB - 3000, 17], np.int32)
     for b in range(3):
         data[b, lens[b]:] = 0
-    cols = _cols(np.stack(data), lens, BB)
-    outs = [np.asarray(decode_sup.decode_planar_sup(
-        *cols, lens, block_size=BB, interpret=True, grid_mode=g))
-        for g in ("flat", "block", "sup")]
-    want = data.copy()
-    for o in outs:
-        np.testing.assert_array_equal(o, want)
+    _roundtrip(list(data), lens, BB)
 
 
 def test_block_size_guard():
