@@ -123,14 +123,22 @@ def host_fallback_gbps(data: np.ndarray, block: int = 1 << 16) -> float:
     return best
 
 
-def _timed_chain(dispatch, sync, iters, chain, fetch):
+def _timed_chain(dispatch, sync, iters, chain, fetch=None):
+    """Paired-chain differencing: the tunnel's fetch/sync overhead varies
+    too much (25-260 ms observed) to calibrate out as a constant; timing a
+    short and a long dispatch chain back-to-back cancels it exactly."""
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        for _ in range(chain):
+        for _ in range(2):
             r = dispatch()
         sync(r)
-        times.append((time.perf_counter() - t0 - fetch) / chain)
+        t1 = time.perf_counter()
+        for _ in range(chain + 2):
+            r = dispatch()
+        sync(r)
+        t2 = time.perf_counter()
+        times.append(((t2 - t1) - (t1 - t0)) / chain)
     return float(np.median(times))
 
 

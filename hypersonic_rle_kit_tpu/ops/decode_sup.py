@@ -113,9 +113,25 @@ def _event_stream(sym, count, lit_len, n_cmds):
 
 
 
-PAINT_W = 48                  # windowed-paint rows (8-aligned slack incl.)
 _CODE_DEAD = -1               # event row has no live events
 _CODE_FULL = -2               # events span wider than the window
+
+
+def paint_window_rows(R: int, G: int) -> int:
+    """Windowed-paint rows: wide enough that a typical paint group's
+    (G x 128 sorted events) position span fits, 8-aligned slack included.
+    HSRK_PAINT_W overrides (perf experiments)."""
+    import os
+    e = os.environ.get("HSRK_PAINT_W")
+    if e:
+        return min(R, int(e))
+    return min(R, 48 * G)   # measured best: 48 at G=1, 96 at G=2
+
+
+def paint_group() -> int:
+    """Event rows batched per one-hot paint matmul (K = G * 128)."""
+    import os
+    return int(os.environ.get("HSRK_PAINT_G", "2"))
 
 
 def _decode_body_flat(code_ref, blen_ref, ev_ref, lits_ref, tri_ref,
@@ -134,12 +150,14 @@ def _decode_body_flat(code_ref, blen_ref, ev_ref, lits_ref, tri_ref,
     b = pl.program_id(0)
     blen = blen_ref[b]
 
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (ROW, ROW), 1)
-    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (ROW, R), 1)
+    G = paint_group()
+    K = G * ROW
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (K, ROW), 1)
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (K, R), 1)
     dn = (((0,), (0,)), ((), ()))
 
-    W = PAINT_W
-    rows_iota_w = jax.lax.broadcasted_iota(jnp.int32, (ROW, min(W, R)), 1)
+    W = paint_window_rows(R, G)
+    rows_iota_w = jax.lax.broadcasted_iota(jnp.int32, (K, min(W, R)), 1)
 
     accs = (acc_ref, acc2_ref, acc3_ref, acc4_ref)
     for a in accs:
@@ -148,32 +166,35 @@ def _decode_body_flat(code_ref, blen_ref, ev_ref, lits_ref, tri_ref,
         out_ref[0] = jnp.full((R, ROW), blen & 0xFF, jnp.uint8)
         return
 
-    # decode the event words once as whole-plane ops, then transpose so the
-    # per-row loop below only slices columns (a [128,1] chain per event row
-    # was the dominant kernel cost on hardware)
-    ev = ev_ref[0]                                   # [ERp, 128] i32
+    # events arrive pre-transposed ([K, ERp//G], XLA prep), so the word
+    # decode is whole-plane and the paint loop only slices columns (a
+    # [128,1] chain per event row was the dominant kernel cost on hardware)
+    ev = ev_ref[0]                                   # [K, ERp//G] i32
     pos_p = jax.lax.shift_right_logical(ev, _POS_SHIFT)
     val_p = jnp.where(pos_p < R * ROW, (ev & _VAL_MASK) - _VAL_OFF, 0)
-    t_row = jnp.swapaxes(pos_p >> 7, 0, 1)           # [128, ERp]
-    t_lane = jnp.swapaxes(pos_p & 127, 0, 1)
-    t_val = jnp.swapaxes(val_p.astype(jnp.bfloat16), 0, 1)
+    t_row = pos_p >> 7
+    t_lane = pos_p & 127
+    t_val = val_p.astype(jnp.bfloat16)
 
-    for k in range(ERp):
+    for k in range(ERp // G):
         # window selection is precomputed in XLA prep and prefetched:
         # -1 = no live events (skip), -2 = span wider than the window
         # (full-width paint), else the 8-aligned window start row
         code = code_ref[b, k]
-        # rotate accumulators so consecutive rows' read-modify-writes
+        # rotate accumulators so consecutive groups' read-modify-writes
         # don't serialize on one buffer (summed once after the loop)
         acc = accs[k % 4]
 
+        def col(t):                     # [K, 1]: G event rows stacked
+            return t[:, k:k + 1]
+
         def paint(rows, r0=None):
-            rel = t_row[:, k:k + 1]
+            rel = col(t_row)
             if r0 is not None:
                 rel = rel - r0
             rowm = (rel == rows).astype(jnp.bfloat16)
-            lm = (t_lane[:, k:k + 1] == lane128).astype(jnp.bfloat16)
-            bs = lm * t_val[:, k:k + 1]
+            lm = (col(t_lane) == lane128).astype(jnp.bfloat16)
+            bs = lm * col(t_val)
             return jax.lax.dot_general(
                 rowm, bs, dimension_numbers=dn,
                 preferred_element_type=jnp.float32)
@@ -274,15 +295,20 @@ def decode_columns_device(sym, count, lit_len, lits, n_cmds, n_lits,
                 else jnp.pad(lits, ((0, 0), (0, R * ROW - lw))))
     lits3 = lits_pad.reshape(nb, R, ROW)
 
-    # per-event-row paint windows, computed here so the kernel's paint
-    # loop is branch-on-scalar only (kernel docstring)
-    pos3 = jax.lax.shift_right_logical(ev3, _POS_SHIFT)
+    # per-paint-group windows, computed here so the kernel's paint loop is
+    # branch-on-scalar only (kernel docstring); events are handed to the
+    # kernel pre-transposed per group ([G*128, groups])
+    G = paint_group()
+    ev4g = ev3.reshape(nb, ERp // G, G * ROW)
+    evt = jnp.swapaxes(ev4g, 1, 2)                   # [nb, G*128, ERp//G]
+    pos3 = jax.lax.shift_right_logical(ev4g, _POS_SHIFT)
     valid3 = pos3 < R * ROW
-    live3 = jnp.any(valid3 & ((ev3 & _VAL_MASK) != _VAL_OFF), axis=-1)
+    live3 = jnp.any(valid3 & ((ev4g & _VAL_MASK) != _VAL_OFF), axis=-1)
     pmin = jnp.min(jnp.where(valid3, pos3, R * ROW), axis=-1)
     pmax = jnp.max(jnp.where(valid3, pos3, 0), axis=-1)
-    r0 = jnp.clip((pmin >> 7) & ~7, 0, max(R - PAINT_W, 0))
-    full = (pmax >> 7) >= r0 + PAINT_W
+    W = paint_window_rows(R, G)
+    r0 = jnp.clip((pmin >> 7) & ~7, 0, max(R - W, 0))
+    full = (pmax >> 7) >= r0 + W
     code = jnp.where(~live3, _CODE_DEAD,
                      jnp.where(full, _CODE_FULL, r0)).astype(jnp.int32)
 
@@ -292,7 +318,7 @@ def decode_columns_device(sym, count, lit_len, lits, n_cmds, n_lits,
         num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, ERp, ROW), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, G * ROW, ERp // G), lambda b, *_: (b, 0, 0)),
             pl.BlockSpec((1, R, ROW), lambda b, *_: (b, 0, 0)),
             pl.BlockSpec((ROW, ROW), lambda b, *_: (0, 0)),
         ],
@@ -304,7 +330,7 @@ def decode_columns_device(sym, count, lit_len, lits, n_cmds, n_lits,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, R, ROW), jnp.uint8),
         interpret=interpret,
-    )(code, block_len, ev3, lits3, tri)
+    )(code, block_len, evt, lits3, tri)
     return out.reshape(nb, B)
 
 

@@ -50,7 +50,7 @@ def _proll(x, s, axis):
 
 def _encode_body(blen_ref, only_ref, x_ref, sym_ref, count_ref, litlen_ref,
                  lits_ref, meta_ref, *, R: int, cap_rows: int, min_count: int,
-                 interpret: bool):
+                 interpret: bool, stage: int = 4):
     roll = _jroll if interpret else _proll
     B = R * ROW
     b = pl.program_id(0)
@@ -67,28 +67,62 @@ def _encode_body(blen_ref, only_ref, x_ref, sym_ref, count_ref, litlen_ref,
     prev = shuffle.flat_roll(xm, 1, roll)
     bnd = (xm != prev) | (flat == 0)
 
-    # next boundary strictly after p -> run length at each run start
+    if stage == 1:               # profiling: boundaries only
+        lits_ref[0] = bnd.astype(jnp.uint8)
+        sym_ref[0] = jnp.zeros((cap_rows, ROW), jnp.uint8)
+        count_ref[0] = jnp.zeros((cap_rows, ROW), jnp.int32)
+        litlen_ref[0] = jnp.zeros((cap_rows, ROW), jnp.int32)
+        meta_ref[0] = jnp.zeros((8, ROW), jnp.int32)
+        return
+
+    # the run containing p spans [prev boundary at/before p, next boundary
+    # after p): one cummax + one suffix-min give both ends, and coverage
+    # follows directly -- no forward-fill network
     bnd_pos = jnp.where(bnd, flat, B)
     nxt = jnp.where(flat < B - 1, shuffle.flat_roll(
         shuffle.suffix_min_tile(bnd_pos, roll), -1, roll), B)
-    run_len = jnp.minimum(nxt, blen) - flat
-    emit = bnd & valid & (run_len >= min_count) & ((only < 0) | (x == only))
-
-    # coverage: forward-fill emitted (start, len) over the block
-    start_ff = shuffle.inclusive_cummax_tile(
-        jnp.where(emit, flat, -1), roll)
-    len_ff, ff_valid = shuffle.forward_fill_tile(
-        jnp.where(emit, run_len, 0), emit, roll)
-    cov = ff_valid & (flat - start_ff < len_ff) & (start_ff >= 0)
+    start = shuffle.inclusive_cummax_tile(jnp.where(bnd, flat, -1), roll)
+    span = jnp.minimum(nxt, blen) - start
+    run_len = jnp.minimum(nxt, blen) - flat      # == span at run starts
+    filt = (only < 0) | (x == only)
+    cov = (span >= min_count) & valid & filt & (start >= 0)
+    emit = bnd & cov
     lit_keep = valid & ~cov
 
     n_runs = jnp.sum(emit.astype(jnp.int32))
     n_lits = jnp.sum(lit_keep.astype(jnp.int32))
     last_end = jnp.max(jnp.where(emit, flat + run_len, 0))
 
-    # command compaction: sym|count packed in one lane, start in another
+    if stage == 2:               # profiling: +run lengths and coverage
+        lits_ref[0] = cov.astype(jnp.uint8)
+        sym_ref[0] = jnp.zeros((cap_rows, ROW), jnp.uint8)
+        count_ref[0] = jnp.zeros((cap_rows, ROW), jnp.int32)
+        litlen_ref[0] = jnp.zeros((cap_rows, ROW), jnp.int32)
+        meta_ref[0] = jnp.where((jax.lax.broadcasted_iota(
+            jnp.int32, (8, ROW), 0) * ROW + jax.lax.broadcasted_iota(
+            jnp.int32, (8, ROW), 1)) == 0, n_runs, n_lits)
+        return
+
+    # command compaction, two-level: per-row lane compact (7 levels), then
+    # 4:1 slot packing (commands per 128-byte row <= 32 at min_count >= 4),
+    # then the global LSB router on the quarter-size plane
     packed = run_len * 256 + x
-    (pk_c, st_c), _ = shuffle.flat_compact([packed, flat], emit, roll)
+    if R % 4 == 0 and min_count >= 4 and R // 4 >= 1:
+        (pk_r, st_r), cnt = shuffle.row_compact([packed, flat], emit, roll)
+        pk_p = shuffle.pack_rows4(pk_r, roll)
+        st_p = shuffle.pack_rows4(st_r, roll)
+        cnt_b = jnp.broadcast_to(cnt, (R, ROW))      # lane<cnt after pack
+        cnt_p = shuffle.pack_rows4(cnt_b, roll)
+        lane_p = jax.lax.broadcasted_iota(jnp.int32, (R // 4, ROW), 1)
+        keep_p = (lane_p & 31) < cnt_p
+        (pk_c, st_c), _ = shuffle.flat_compact([pk_p, st_p], keep_p, roll)
+        pad = cap_rows - R // 4
+        if pad > 0:
+            z = jnp.zeros((pad, ROW), jnp.int32)
+            pk_c = jnp.concatenate([pk_c, z], axis=0)
+            st_c = jnp.concatenate([st_c, z], axis=0)
+    else:
+        (pk_c, st_c), _ = shuffle.flat_compact([packed, flat], emit, roll)
     pk_c = pk_c[:cap_rows]
     st_c = st_c[:cap_rows]
     k = (jax.lax.broadcasted_iota(jnp.int32, (cap_rows, ROW), 0) * ROW
@@ -107,6 +141,13 @@ def _encode_body(blen_ref, only_ref, x_ref, sym_ref, count_ref, litlen_ref,
     count_ref[0] = count_c
     litlen_ref[0] = ll
 
+    if stage == 3:               # profiling: no literal compaction
+        lits_ref[0] = jnp.zeros((R, ROW), jnp.uint8)
+        meta_ref[0] = jnp.where((jax.lax.broadcasted_iota(
+            jnp.int32, (8, ROW), 0) * ROW + jax.lax.broadcasted_iota(
+            jnp.int32, (8, ROW), 1)) == 0, n_runs + 1, n_lits)
+        return
+
     # literal compaction
     (lit_c,), _ = shuffle.flat_compact([x], lit_keep, roll)
     lidx = flat
@@ -119,11 +160,12 @@ def _encode_body(blen_ref, only_ref, x_ref, sym_ref, count_ref, litlen_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "min_count",
-                                             "interpret"))
+                                             "interpret", "stage"))
 def encode_blocks_kernel(x: jnp.ndarray, block_len: jnp.ndarray, *,
                          capacity: int, min_count: int = 6,
                          interpret: bool = False,
-                         only_sym: jnp.ndarray | None = None):
+                         only_sym: jnp.ndarray | None = None,
+                         stage: int = 4):
     """Encode ``[nb, B]`` bytes into planar columns on-device.
 
     Returns ``(sym, count, lit_len, lits, n_cmds, n_lits)`` with shapes
@@ -140,7 +182,8 @@ def encode_blocks_kernel(x: jnp.ndarray, block_len: jnp.ndarray, *,
         only_sym = jnp.full(nb, -1, jnp.int32)
 
     kernel = functools.partial(_encode_body, R=R, cap_rows=cap_rows,
-                               min_count=min_count, interpret=interpret)
+                               min_count=min_count, interpret=interpret,
+                               stage=stage)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
@@ -156,6 +199,11 @@ def encode_blocks_kernel(x: jnp.ndarray, block_len: jnp.ndarray, *,
     sym, count, lit_len, lits, meta = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        # the compaction networks keep several [R,128] i32 planes live at
+        # once; the default 16 MiB scoped-vmem cap is too tight at 64 KiB+
+        # blocks (measured OOM on v5e)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=[
             jax.ShapeDtypeStruct((nb, cap_rows, ROW), jnp.uint8),
             jax.ShapeDtypeStruct((nb, cap_rows, ROW), jnp.int32),

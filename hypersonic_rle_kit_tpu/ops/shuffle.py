@@ -169,6 +169,53 @@ def flat_compact(cols, keep: jnp.ndarray, roll=_jroll):
     return cols, live == 1
 
 
+def row_compact(cols, keep: jnp.ndarray, roll=_jroll):
+    """Order-preserving left-compaction *within each 128-lane row* of a
+    [R, 128] tile: the flat_compact LSB router restricted to lane rolls
+    (7 levels of whole-plane ops, no cross-row movement).  Returns
+    ``(compacted_cols, cnt)`` where ``cnt[r, 0]`` counts kept elements of
+    row r (packed into its first ``cnt`` lanes)."""
+    ax = keep.ndim - 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, keep.shape, ax)
+    cnt = jnp.sum(keep.astype(jnp.int32), axis=-1, keepdims=True)
+    nk = (~keep).astype(jnp.int32)
+    s = nk
+    for b in range(7):                   # within-row inclusive scan
+        s = s + jnp.where(lane >= (1 << b), roll(s, 1 << b, ax), 0)
+    d = s - nk                           # dropped-before within the row
+    live = keep.astype(jnp.int32)
+    cols = list(cols)
+    for b in range(7):
+        sh = 1 << b
+        back = (LANES - sh) % LANES      # lane roll by -sh (rolls >= 0)
+        in_range = lane < LANES - sh
+        sl = (roll(live, back, ax) == 1) & in_range
+        sd = roll(d, back, ax)
+        take = sl & ((sd >> b) & 1 == 1)
+        stay = (live == 1) & ((d >> b) & 1 == 0)
+        live = (take | stay).astype(jnp.int32)
+        d = jnp.where(take, sd, d)
+        cols = [jnp.where(take, roll(c, back, ax), c) for c in cols]
+    return cols, cnt
+
+
+def pack_rows4(c: jnp.ndarray, roll=_jroll) -> jnp.ndarray:
+    """[R, 128] -> [R//4, 128]: lane group g of packed row r2 holds lanes
+    0..31 of source row 4*r2+g (valid when each source row's payload fits
+    its first 32 lanes -- commands per 128-byte row are bounded by
+    128/min_count <= 32 for min_count >= 4)."""
+    R = c.shape[-2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, c.shape, c.ndim - 1)
+    z1 = roll(c, R - 1, c.ndim - 2)          # row r+1 (rolls must be >= 0)
+    z2 = roll(c, R - 2, c.ndim - 2)
+    z3 = roll(c, R - 3, c.ndim - 2)
+    y = jnp.where(lane < 32, c,
+                  jnp.where(lane < 64, roll(z1, 32, c.ndim - 1),
+                            jnp.where(lane < 96, roll(z2, 64, c.ndim - 1),
+                                      roll(z3, 96, c.ndim - 1))))
+    return y.reshape(R // 4, 4, LANES)[:, 0, :]
+
+
 def forward_fill_tile(x: jnp.ndarray, valid: jnp.ndarray, roll=_jroll):
     """Forward-fill over the flattened trailing (rows, 128) tile: every flat
     position takes the value of the nearest valid position at or before it
