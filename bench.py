@@ -323,7 +323,7 @@ def run_device_phase(data: np.ndarray, args) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mib", type=int, default=64)
-    ap.add_argument("--block", type=int, default=1 << 17)
+    ap.add_argument("--block", type=int, default=1 << 18)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--attempts", type=int, default=2,

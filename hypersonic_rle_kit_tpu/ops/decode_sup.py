@@ -1,9 +1,9 @@
-"""Flagship decode kernel: sorted-event whole-block decode, O(compressed)
-device input everywhere.
+"""Flagship decode kernel: stripe-bucketed row-local event paint,
+O(compressed) device input everywhere.
 
 The whole pipeline is one jit:
 
-    planar columns [nb, C] (device)  --XLA-->  sorted event stream + windows
+    planar columns [nb, C] (device)  --XLA-->  event stream + stripe tables
                                      --Pallas-->  decoded bytes [nb, B]
 
 so the host contribution to a decompress is only the container unpack; the
@@ -12,40 +12,61 @@ like the reference decoder that touches only compressed bytes
 (rle8_extreme_cpu.h:1825-1913) and the OpenCL device path that uploads the
 payload only (rle8_ocl.c:335-348).
 
-Representation.  Every run becomes two *events* in one stream sorted by
-output position (opens and closes interleave already ordered, because runs
-are disjoint and commands are emitted in order -- no sort, no bucketing):
+Representation.  Every run becomes two *events* in one position-sorted
+stream (no sort needed -- runs are disjoint and commands are emitted in
+order):
 
     open   at run_start:  value +(sym + 1)
     close  at run_end:    value -(sym + 1)
 
-packed as ``pos << 10 | (value + 256)`` in one int32.  The prefix sum of
-event values over output positions is then *exactly* ``sym + 1`` at covered
-bytes and 0 at literal bytes (open/close pairs telescope; runs are
-disjoint), so one scan yields coverage and symbol together:
+packed as ``pos << 10 | (value + 256)`` in one int32.
 
-    cum == 0  ->  literal byte        cum >= 1  ->  byte = cum - 1
+Row-local formulation.  Decompose every output position p = 128 r + l.
+For an event at (er, el) with signed weight w = sign(value):
 
-Kernel (grid = one cell per block; every stage is one wide op sequence over
-the [R, 128] block plane -- per-supertile variants were latency-bound on
-dependent small ops and were retired after hardware stage profiling):
+    cum(r, l)    = rowcum[r] + sum_{ev in row r, el <= l} value
+    covbef(r, l) = cbr[r] + cov_state[r] * l + sum_{ev in row r} w relu(l - el)
 
-1. **paint**: one-hot MXU contractions accumulate event values into the
-   block plane (the TPU-native scatter).  Window rows are precomputed in
-   XLA and scalar-prefetched: dead event rows skip on a scalar branch,
-   narrow spans paint a 48-row window, wide spans take the full plane.
-   Four rotating accumulators keep consecutive read-modify-writes from
-   serializing behind one buffer.
-2. **scan**: a triangular matmul + lane-major log-step row carry turns the
-   painted deltas into per-byte ``sym + 1`` coverage (the MEMSET dual).
-3. **literals**: the exclusive prefix count of covered bytes is the
-   literal displacement; a log-step ``staircase_pull`` places every literal
-   byte (the MEMCPY dual, ops/shuffle.py).
+where ``cum`` is the coverage value (0 => literal byte, v => run byte v - 1)
+and ``covbef`` is the number of covered bytes before p (the literal
+displacement).  Events affect only their own 128-byte row, so each is
+painted as a *one-hot* (value / weight at its lane) by an MXU contraction,
+and the in-row step/ramp prefix expansion is two [128, 128] constant
+post-matmuls per block.  The cross-row carries (``rowcum``, ``cov_state``,
+``cbr``) are three length-R vectors scanned log-step over a [1, R] vector.
+
+Stripe bucketing.  The XLA prep distributes the sorted event stream into
+columns of 128 slots such that every column's events live inside one
+128-row stripe (dense stripes get several columns; the column budget
+R/128 + ceil(E/128) always suffices).  Every paint is therefore an
+unconditional 128-row windowed accumulate -- no data-dependent branch
+exists in the kernel at all.  (The branchy variant this replaces -- paint
+window chosen per group with a full-plane fallback -- serialized Mosaic's
+instruction scheduling and cost ~30% of kernel time; XLA-side gathers for
+the same redistribution lowered to per-element loops and cost 4x the whole
+kernel.)  The slot -> event-index map is a staircase (non-decreasing,
+increments in {0, 1}), so the kernel routes events into bucketed order
+with a VMEM-resident log-step pull (ops/shuffle.staircase_pull) -- the
+same primitive that places literal bytes.
+
+Kernel stages (grid = one cell per block):
+
+1. **route**: staircase-pull events into stripe-bucketed columns, one
+   whole-plane transpose to column-major.
+2. **paint**: per column, one-hot value/weight matrices contracted against
+   a one-hot row-match matrix, accumulated into the column's stripe
+   window (rotating accumulators decouple consecutive read-modify-writes);
+   then the two constant step/ramp post-matmuls.
+3. **carries**: three [1, R] log-step scans on lane-127 columns.
+4. **literals**: ``staircase_pull`` places every literal byte at
+   displacement ``covbef`` (the MEMCPY dual of rleX_extreme_common.h's
+   memcpy walk).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -62,7 +83,7 @@ _VAL_OFF = 256
 _PAD_POS = 1 << 20          # > any block position; (PAD_POS << 10) < 2^31
 MAX_BLOCK = 1 << 19         # pos field must stay below _PAD_POS
 _PAD_WORD = (_PAD_POS << _POS_SHIFT) | _VAL_OFF
-
+STRIPE = 128                # rows per stripe = paint window height
 
 
 def _jroll(x, s, axis):
@@ -74,7 +95,7 @@ def _proll(x, s, axis):
 
 
 # ---------------------------------------------------------------------------
-# XLA prep: planar columns -> event stream + per-supertile tables
+# XLA prep: planar columns -> event stream + stripe tables
 # ---------------------------------------------------------------------------
 
 def _event_stream(sym, count, lit_len, n_cmds):
@@ -101,178 +122,143 @@ def _event_stream(sym, count, lit_len, n_cmds):
     return ev, pos, val
 
 
-
-
-
-
+def _row_scan_1xr(vec, R, roll):
+    """Inclusive prefix sum of a [1, R] int32 vector by log-step rolls."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
+    for bb in range(max(1, (R - 1).bit_length())):
+        vec = vec + jnp.where(lane >= (1 << bb), roll(vec, 1 << bb, 1), 0)
+    return vec
 
 
 # ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
 
-
-
-_CODE_DEAD = -1               # event row has no live events
-_CODE_FULL = -2               # events span wider than the window
-
-
-def paint_window_rows(R: int, G: int) -> int:
-    """Windowed-paint rows: wide enough that a typical paint group's
-    (G x 128 sorted events) position span fits, 8-aligned slack included.
-    HSRK_PAINT_W overrides (perf experiments)."""
-    import os
-    e = os.environ.get("HSRK_PAINT_W")
-    if e:
-        return min(R, int(e))
-    return min(R, 48 * G)   # measured best: 48 at G=1, 96 at G=2
-
-
-def paint_group() -> int:
-    """Event rows batched per one-hot paint matmul (K = G * 128)."""
-    import os
-    return int(os.environ.get("HSRK_PAINT_G", "2"))
-
-
-def _decode_body_flat(code_ref, blen_ref, ev_ref, lits_ref, tri_ref,
-                      out_ref, acc_ref, acc2_ref, acc3_ref, acc4_ref,
-                      *, ERp: int, R: int, interpret: bool, stage: int = 3):
-    """Whole-block body: grid = (nb,), no supertiles.
-
-    One paint / one scan / one staircase over the full [R, 128] block plane.
-    The per-supertile variants issue ~50 small dependent ops per 4 KiB
-    (latency-bound on the VPU); here every stage is one wide op sequence
-    over the whole block, and the carry/lit0 tables disappear because the
-    scans never cross a block boundary.  The literal displacement is simply
-    the exclusive prefix count of covered bytes, so the rank scan and the
-    windowed l0 bookkeeping of the supertile variants vanish too."""
+def _decode_body(code_ref, blen_ref, ev_ref, dp_ref, lits_ref,
+                 out_ref, accv_ref, accv2_ref, accw_ref, accw2_ref,
+                 *, NC: int, R: int, interpret: bool, stage: int = 3):
+    """Whole-block body: grid = (nb,); see the module docstring."""
     roll = _jroll if interpret else _proll
     b = pl.program_id(0)
     blen = blen_ref[b]
+    Wr = min(STRIPE, R)
 
-    G = paint_group()
-    K = G * ROW
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (K, ROW), 1)
-    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (K, R), 1)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (ROW, ROW), 1)
+    subl128 = jax.lax.broadcasted_iota(jnp.int32, (ROW, 1), 0)
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (ROW, Wr), 1)
     dn = (((0,), (0,)), ((), ()))
+    li = jax.lax.broadcasted_iota(jnp.int32, (ROW, ROW), 0)
+    tri = (lane128 >= li).astype(jnp.bfloat16)              # [l >= el]
+    rampm = jnp.maximum(lane128 - li, 0).astype(jnp.bfloat16)  # relu(l-el)
 
-    W = paint_window_rows(R, G)
-    rows_iota_w = jax.lax.broadcasted_iota(jnp.int32, (K, min(W, R)), 1)
-
-    accs = (acc_ref, acc2_ref, acc3_ref, acc4_ref)
-    for a in accs:
+    accvs = (accv_ref, accv2_ref)
+    accws = (accw_ref, accw2_ref)
+    for a in accvs + accws:
         a[...] = jnp.zeros((R, ROW), jnp.float32)
     if stage == 0:                     # profiling: prep + launch + IO only
         out_ref[0] = jnp.full((R, ROW), blen & 0xFF, jnp.uint8)
         return
 
-    # events arrive pre-transposed ([K, ERp//G], XLA prep), so the word
-    # decode is whole-plane and the paint loop only slices columns (a
-    # [128,1] chain per event row was the dominant kernel cost on hardware)
-    ev = ev_ref[0]                                   # [K, ERp//G] i32
-    pos_p = jax.lax.shift_right_logical(ev, _POS_SHIFT)
-    val_p = jnp.where(pos_p < R * ROW, (ev & _VAL_MASK) - _VAL_OFF, 0)
-    t_row = pos_p >> 7
-    t_lane = pos_p & 127
-    t_val = val_p.astype(jnp.bfloat16)
+    # route events into stripe-bucketed column order (module docstring):
+    # a VMEM-resident staircase pull over the [NC, 128] event plane, then
+    # one transpose so each column is a [128, 1] sublane slice
+    routed = shuffle.staircase_pull(ev_ref[0], dp_ref[0], roll)
+    ev_t = jnp.swapaxes(routed, 0, 1)                       # [128, NC]
 
-    for k in range(ERp // G):
-        # window selection is precomputed in XLA prep and prefetched:
-        # -1 = no live events (skip), -2 = span wider than the window
-        # (full-width paint), else the 8-aligned window start row
-        code = code_ref[b, k]
-        # rotate accumulators so consecutive groups' read-modify-writes
+    for c in range(NC):
+        cp = code_ref[b, c]
+        r0 = pl.multiple_of(cp & 0xFFFF, 8)      # stripe start row
+        lcnt = cp >> 16                          # live slots in the column
+        # rotate accumulators so consecutive columns' read-modify-writes
         # don't serialize on one buffer (summed once after the loop)
-        acc = accs[k % 4]
+        accv, accw = accvs[c % 2], accws[c % 2]
 
-        def col(t):                     # [K, 1]: G event rows stacked
-            return t[:, k:k + 1]
+        e = ev_t[:, c:c + 1]                     # [128, 1] event words
+        pos_c = jax.lax.shift_right_logical(e, _POS_SHIFT)
+        live = (pos_c < R * ROW) & (subl128 < lcnt)
+        vraw = jnp.where(live, (e & _VAL_MASK) - _VAL_OFF, 0)
+        row_c = pos_c >> 7
+        lane_c = pos_c & 127
+        val_cbf = vraw.astype(jnp.bfloat16)
+        w_cbf = jnp.sign(vraw).astype(jnp.bfloat16)
 
-        def paint(rows, r0=None):
-            rel = col(t_row)
-            if r0 is not None:
-                rel = rel - r0
-            rowm = (rel == rows).astype(jnp.bfloat16)
-            lm = (col(t_lane) == lane128).astype(jnp.bfloat16)
-            bs = lm * col(t_val)
-            return jax.lax.dot_general(
-                rowm, bs, dimension_numbers=dn,
-                preferred_element_type=jnp.float32)
+        # one-hot value/weight lane matrices + one-hot row match
+        lm = (lane128 == lane_c).astype(jnp.bfloat16)
+        bv = lm * val_cbf
+        bw = lm * w_cbf
+        rowm = (row_c - r0 == rows_iota).astype(jnp.bfloat16)
+        mmv = jax.lax.dot_general(rowm, bv, dimension_numbers=dn,
+                                  preferred_element_type=jnp.float32)
+        mmw = jax.lax.dot_general(rowm, bw, dimension_numbers=dn,
+                                  preferred_element_type=jnp.float32)
+        if R <= STRIPE:
+            accv[...] += mmv
+            accw[...] += mmw
+        else:
+            accv[pl.ds(r0, Wr), :] += mmv
+            accw[pl.ds(r0, Wr), :] += mmw
 
-        if R <= W:
-            @pl.when(code != _CODE_DEAD)
-            def _():
-                acc[...] += paint(rows_iota)
-            continue
-
-        # events are position-sorted, so one row's 128 events usually span
-        # a narrow output range: paint into a W-row window of the
-        # accumulator (O(W) per event row instead of O(R))
-        @pl.when(code >= 0)
-        def _():
-            r0 = pl.multiple_of(code, 8)
-            acc[pl.ds(r0, W), :] += paint(rows_iota_w, code)
-
-        @pl.when(code == _CODE_FULL)
-        def _():
-            acc[...] += paint(rows_iota)
-
-    def row_scan(x_i32):
-        c = jax.lax.dot_general(
-            x_i32.astype(jnp.bfloat16), tri_ref[...],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.int32)
-        tot = c[:, ROW - 1:ROW]            # [R, 1] row totals
-        # cross-row carry in lane-major layout: [R,1] keeps 1/128 of each
-        # vreg busy and the log-step chain is R/8 vregs deep; transposed to
-        # [1,R] the same scan runs on dense vregs
-        tt = jnp.swapaxes(tot, 0, 1)       # [1, R]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
-        for bb in range((R - 1).bit_length()):
-            tt = tt + jnp.where(lane >= (1 << bb), roll(tt, 1 << bb, 1), 0)
-        acc = jnp.swapaxes(tt, 0, 1)       # [R, 1] inclusive row prefix
-        return c + (acc - tot)
-
-    painted = ((acc_ref[...] + acc2_ref[...])
-               + (acc3_ref[...] + acc4_ref[...])).astype(jnp.int32)
+    painted_v = (accv_ref[...] + accv2_ref[...]).astype(jnp.bfloat16)
+    painted_w = (accw_ref[...] + accw2_ref[...]).astype(jnp.bfloat16)
+    # in-row step/ramp expansion: one [128, 128] constant contraction each
+    mdn = (((1,), (0,)), ((), ()))
+    step = jax.lax.dot_general(
+        painted_v, tri, dimension_numbers=mdn,
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    ramp = jax.lax.dot_general(
+        painted_w, rampm, dimension_numbers=mdn,
+        preferred_element_type=jnp.float32).astype(jnp.int32)
     if stage == 1:                     # profiling: paint only
-        out_ref[0] = (painted & 0xFF).astype(jnp.uint8)
+        out_ref[0] = (step & 0xFF).astype(jnp.uint8)
         return
 
-    cum = row_scan(painted)
+    # carries: three [1, R] scans on the lane-127 columns (module docstring)
+    rowdelta = jnp.swapaxes(step[:, ROW - 1:ROW], 0, 1)     # [1, R]
+    incl = _row_scan_1xr(rowdelta, R, roll)
+    excl = incl - rowdelta                                  # rowcum[r]
+    cs = (excl >= 1).astype(jnp.int32)                      # cov_state[r]
+    csn = (incl >= 1).astype(jnp.int32)                     # state after r
+    ramp_tot = jnp.swapaxes(ramp[:, ROW - 1:ROW], 0, 1)
+    c_row = ROW * cs + ramp_tot + (csn - cs)        # covered bytes in row r
+    cbr_i = _row_scan_1xr(c_row, R, roll)
+    cbr = jnp.swapaxes(cbr_i - c_row, 0, 1)                 # [R, 1]
+    rowcum = jnp.swapaxes(excl, 0, 1)                       # [R, 1]
+    cs_c = jnp.swapaxes(cs, 0, 1)                           # [R, 1]
+
+    cum = rowcum + step
     cov = cum >= 1
     sym_exp = ((cum - 1) & 0xFF).astype(jnp.uint8)
 
-    flat = (jax.lax.broadcasted_iota(jnp.int32, (R, ROW), 0) * ROW
-            + jax.lax.broadcasted_iota(jnp.int32, (R, ROW), 1))
+    def write_out(out):
+        # full blocks (the common case) skip the tail mask entirely
+        @pl.when(blen >= R * ROW)
+        def _():
+            out_ref[0] = out
+
+        @pl.when(blen < R * ROW)
+        def _():
+            flat = (jax.lax.broadcasted_iota(jnp.int32, (R, ROW), 0) * ROW
+                    + jax.lax.broadcasted_iota(jnp.int32, (R, ROW), 1))
+            out_ref[0] = jnp.where(flat < blen, out, 0)
+
     if stage == 2:                     # profiling: no literal movement
-        out_ref[0] = jnp.where(flat < blen, sym_exp, 0)
+        write_out(sym_exp)
         return
 
-    covi = cov.astype(jnp.int32)
-    d_lit = row_scan(covi) - covi                  # covered bytes before p
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, ROW), 1)
+    d_lit = cbr + cs_c * lane + ramp               # covered bytes before p
     lit_exp = shuffle.staircase_pull(
         lits_ref[0].astype(jnp.int32), d_lit, roll).astype(jnp.uint8)
 
-    out = jnp.where(cov, sym_exp, lit_exp)
-    out_ref[0] = jnp.where(flat < blen, out, 0)
+    write_out(jnp.where(cov, sym_exp, lit_exp))
 
 
 @functools.partial(jax.jit, static_argnames=("block_size", "interpret",
                                              "stage"))
-def decode_columns_device(sym, count, lit_len, lits, n_cmds, n_lits,
-                          block_len, *, block_size: int,
-                          interpret: bool = False,
-                          stage: int = 3) -> jnp.ndarray:
-    """Planar columns (device arrays) -> decoded [nb, block_size] uint8.
-
-    One grid cell per block; see the module docstring.  ``stage`` is a
-    profiling knob (0 = prep/IO, 1 = +paint, 2 = +scan, 3 = full decode).
-    """
+def _decode_jit(sym, count, lit_len, lits, n_cmds, n_lits, block_len, *,
+                block_size: int, interpret: bool, stage: int) -> jnp.ndarray:
     nb, C = count.shape
     B = block_size
-    assert B <= MAX_BLOCK, (B, MAX_BLOCK)
-    assert B % ROW == 0, B
     R = B // ROW
 
     count = count.astype(jnp.int32)
@@ -283,44 +269,71 @@ def decode_columns_device(sym, count, lit_len, lits, n_cmds, n_lits,
     ev, pos, val = _event_stream(sym, count, lit_len, n_cmds)
     E = ev.shape[1]
 
-    tri = jnp.asarray(np.tril(np.ones((ROW, ROW), np.float32)).T,
-                      jnp.bfloat16)             # tri[p, j] = p <= j
-
-    ERp = max(8, -(-E // (8 * ROW)) * 8)
-    ev_rows = jnp.full((nb, ERp * ROW), _PAD_WORD, jnp.int32)
-    ev_rows = jax.lax.dynamic_update_slice(ev_rows, ev, (0, 0))
-    ev3 = ev_rows.reshape(nb, ERp, ROW)
     lw = lits.shape[1]
     lits_pad = (lits[:, :R * ROW] if lw >= R * ROW
                 else jnp.pad(lits, ((0, 0), (0, R * ROW - lw))))
     lits3 = lits_pad.reshape(nb, R, ROW)
 
-    # per-paint-group windows, computed here so the kernel's paint loop is
-    # branch-on-scalar only (kernel docstring); events are handed to the
-    # kernel pre-transposed per group ([G*128, groups])
-    G = paint_group()
-    ev4g = ev3.reshape(nb, ERp // G, G * ROW)
-    evt = jnp.swapaxes(ev4g, 1, 2)                   # [nb, G*128, ERp//G]
-    pos3 = jax.lax.shift_right_logical(ev4g, _POS_SHIFT)
-    valid3 = pos3 < R * ROW
-    live3 = jnp.any(valid3 & ((ev4g & _VAL_MASK) != _VAL_OFF), axis=-1)
-    pmin = jnp.min(jnp.where(valid3, pos3, R * ROW), axis=-1)
-    pmax = jnp.max(jnp.where(valid3, pos3, 0), axis=-1)
-    W = paint_window_rows(R, G)
-    r0 = jnp.clip((pmin >> 7) & ~7, 0, max(R - W, 0))
-    full = (pmax >> 7) >= r0 + W
-    code = jnp.where(~live3, _CODE_DEAD,
-                     jnp.where(full, _CODE_FULL, r0)).astype(jnp.int32)
+    # --- stripe bucketing (module docstring): assign every live event to
+    # a column of 128 slots inside its 128-row stripe; dense stripes get
+    # multiple columns, and the budget ns + ceil(E/128) always suffices
+    ns = -(-R // STRIPE)
+    NC = ns + -(-E // ROW)
+    live = (pos < R * ROW) & (val != 0)
+    s_i = jnp.where(live, pos >> 14, ns)                     # row // 128
+    sb = jnp.arange(ns, dtype=jnp.int32)
+    cnt = jnp.sum((s_i[:, :, None] == sb[None, None, :]).astype(jnp.int32),
+                  axis=1)                                    # [nb, ns]
+    lo = jnp.cumsum(cnt, axis=1) - cnt
+    ncols = -(-cnt // ROW)                                   # cols/stripe
+    colstart = jnp.cumsum(ncols, axis=1) - ncols             # [nb, ns]
+    cidx = jnp.arange(NC, dtype=jnp.int32)
+    used = jnp.sum(ncols, axis=1, keepdims=True)             # [nb, 1]
+    in_use = cidx[None, :] < used
+    # stripe of column c = rightmost column-allocating stripe whose
+    # colstart <= c (colstart is strictly increasing over those stripes,
+    # so the max of qualifying stripe ids -- NOT the count of qualifiers,
+    # which would give the rank among live stripes -- is the owner)
+    s_of_c = jnp.max(jnp.where((colstart[:, :, None] <= cidx[None, None, :])
+                               & (ncols[:, :, None] > 0),
+                               sb[None, :, None], 0), axis=1)  # [nb, NC]
+    s_of_c = jnp.clip(s_of_c, 0, ns - 1)
+    lo_c = jnp.take_along_axis(lo, s_of_c, axis=1)
+    st_c = jnp.take_along_axis(colstart, s_of_c, axis=1)
+    cnt_c = jnp.take_along_axis(cnt, s_of_c, axis=1)
+    base = lo_c + (cidx[None, :] - st_c) * ROW               # [nb, NC]
+    lcnt = jnp.clip(cnt_c - (cidx[None, :] - st_c) * ROW, 0, ROW)
+    lcnt = jnp.where(in_use, lcnt, 0)
+    # slot -> event-index map, frozen at each stripe's end so it is
+    # non-decreasing with increments in {0, 1}: a staircase, routed inside
+    # the kernel with a VMEM-resident log-step pull (XLA gathers lower to
+    # per-element loops on TPU: measured 4x the whole kernel's time)
+    q = jnp.arange(ROW, dtype=jnp.int32)
+    NCK = NC * ROW
+    ev_idx = jnp.minimum(base[:, :, None] + q[None, None, :],
+                         (lo_c + cnt_c)[:, :, None])         # [nb, NC, 128]
+    slot = jnp.arange(NCK, dtype=jnp.int32)
+    d_pull = (slot[None, :]
+              - jnp.minimum(ev_idx.reshape(nb, NCK), NCK - 1))
+    ev_src = jnp.full((nb, NCK), _PAD_WORD, jnp.int32)
+    ev_src = jax.lax.dynamic_update_slice(ev_src, ev[:, :NCK], (0, 0))
+    # stripe start row, 8-aligned with an 8-aligned clip bound (the Mosaic
+    # alignment contract on the kernel's pl.ds; ADVICE r3), packed with
+    # the column's live-slot count
+    Wr = min(STRIPE, R)
+    r0 = jnp.clip(jnp.where(in_use, s_of_c * STRIPE, 0),
+                  0, max((R - Wr) & ~7, 0))
+    code = (r0 | (lcnt << 16)).astype(jnp.int32)
 
-    kernel = functools.partial(_decode_body_flat, ERp=ERp, R=R,
+    kernel = functools.partial(_decode_body, NC=NC, R=R,
                                interpret=interpret, stage=stage)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, G * ROW, ERp // G), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, NC, ROW), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, NC, ROW), lambda b, *_: (b, 0, 0)),
             pl.BlockSpec((1, R, ROW), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec((ROW, ROW), lambda b, *_: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, R, ROW), lambda b, *_: (b, 0, 0)),
         scratch_shapes=[pltpu.VMEM((R, ROW), jnp.float32)] * 4,
@@ -329,9 +342,31 @@ def decode_columns_device(sym, count, lit_len, lits, n_cmds, n_lits,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, R, ROW), jnp.uint8),
+        # the staircase keeps several [R, 128] i32 planes live at once; the
+        # default 16 MiB scoped-vmem cap is too tight at large blocks
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(code, block_len, evt, lits3, tri)
+    )(code, block_len, ev_src.reshape(nb, NC, ROW),
+      d_pull.reshape(nb, NC, ROW), lits3)
     return out.reshape(nb, B)
+
+
+def decode_columns_device(sym, count, lit_len, lits, n_cmds, n_lits,
+                          block_len, *, block_size: int,
+                          interpret: bool = False,
+                          stage: int = 3) -> jnp.ndarray:
+    """Planar columns (device arrays) -> decoded [nb, block_size] uint8.
+
+    One grid cell per block; see the module docstring.  ``stage`` is a
+    profiling knob (0 = prep/IO, 1 = +route+paint, 2 = +carries, 3 = full
+    decode)."""
+    B = block_size
+    assert B <= MAX_BLOCK, (B, MAX_BLOCK)
+    assert B % ROW == 0, B
+    return _decode_jit(sym, count, lit_len, lits, n_cmds, n_lits, block_len,
+                       block_size=block_size, interpret=interpret,
+                       stage=stage)
 
 
 def decode_planar_sup(sym, count, lit_len, lits, n_cmds, n_lits, block_len,

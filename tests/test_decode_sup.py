@@ -138,3 +138,26 @@ def test_block_size_guard():
             np.ones(1, np.int32), np.zeros(1, np.int32),
             np.zeros(1, np.int32),
             block_size=decode_sup.MAX_BLOCK * 2, interpret=True)
+
+
+def test_events_only_in_late_stripe():
+    """A block whose only events sit past the first 128-row stripe: the
+    stripe-of-column map must return stripe ids, not ranks among live
+    stripes (regression: r4 bucketing painted stripe 0 instead)."""
+    B = 65536
+    sym = np.zeros((1, 128), np.uint8)
+    count = np.zeros((1, 128), np.int32)
+    lit_len = np.zeros((1, 128), np.int32)
+    sym[0, 0] = 3
+    count[0, 0] = 6
+    lit_len[0, 0] = 30755
+    lit_len[0, 1] = B - 6 - 30755
+    n_lits = B - 6
+    lits = np.zeros((1, B), np.uint8)
+    lits[0, :n_lits] = (np.arange(n_lits) % 251).astype(np.uint8)
+    y = np.asarray(decode_sup.decode_planar_sup(
+        sym, count, lit_len, lits, np.array([2], np.int32),
+        np.array([n_lits], np.int32), np.array([B], np.int32),
+        block_size=B, interpret=True))
+    h = planar.host_decode_block(sym[0], count[0], lit_len[0], lits[0], 2, B)
+    assert np.array_equal(y[0], h)
