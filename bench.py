@@ -1,20 +1,23 @@
 #!/usr/bin/env python3
 """Benchmark harness: one JSON line on stdout with the headline metric.
 
-Headline: 8-bit RLE decode throughput, HRT1 compressed columns (HBM) ->
-decoded bytes (HBM), on one chip.  The device reads O(compressed) input
-only -- planar command columns exactly as deserialized from the container
--- and the jit includes the on-device event-stream prep (ops/decode_sup.py),
-so compression ratio buys real HBM bandwidth, like the reference decoder
-that touches only compressed bytes (rle8_extreme_cpu.h:1825-1913).
+Headline: 8-bit RLE decode throughput, HRT1 payload sections (HBM) ->
+decoded bytes (HBM), on one chip, in one jit: on-device bit-unpack of the
+command columns (ops/unpack_device.py) + event decode (ops/decode_sup.py).
+The device reads O(compressed) input only, so compression ratio buys real
+HBM bandwidth, like the reference decoder that touches only compressed
+bytes (rle8_extreme_cpu.h:1825-1913) and its OpenCL path that uploads the
+payload only (rle8_ocl.c:335-348).
 Baseline: the reference's published single-thread x86 number on
 video_frame.raw (25,830.4 MiB/s decode, README.md:28 => 27.086 GB/s).
 
 Also reported in the same JSON object (and as stderr lines):
   encode_kernel_gbps   device bytes (HBM) -> planar commands (Pallas encode)
   host_unpack_gbps     blob -> planar columns (C++ threaded unpack)
-  h2d_gbps             device_put of the compressed columns over the link
-  decode_e2e_gbps      blob on host -> decoded bytes in HBM (unpack+H2D+kernel)
+  host_pack_gbps       blob -> padded payload sections (memcpy-only slicing)
+  h2d_payload_gbps     device_put of the payload sections (O(compressed))
+  decode_columns_gbps  pre-unpacked planar columns (HBM) -> bytes (HBM)
+  decode_e2e_gbps      blob on host -> decoded bytes in HBM (pack+H2D+device)
   encode_host_gbps     C++ AVX2 host encoder (bytes -> planar)
   ratio                HRT1 compressed ratio on the synthetic dataset
 
@@ -176,28 +179,39 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
     results["host_unpack_gbps"] = unpack
     log(f"host container unpack (C++): {unpack:.2f} GB/s")
     sym, count, lit_len, lits, n_cmds, n_lits, block_len = pcols
-    csize = (sym.nbytes + count.nbytes + lit_len.nbytes
-             + int(n_lits.sum()) + n_cmds.nbytes * 2 + block_len.nbytes)
 
-    # trim the padded capacity to what the data needs (power-of-two rows)
-    used = int(n_cmds.max())
-    cap_used = max(128, 1 << (used - 1).bit_length())
-    if cap_used < sym.shape[1]:
-        sym, count, lit_len = (a[:, :cap_used] for a in
-                               (sym, count, lit_len))
-
-    # --- H2D, measured ---
+    # --- host section pack (memcpy-only), measured: blob -> sections ---
+    from hypersonic_rle_kit_tpu.ops import unpack_device
     t0 = time.perf_counter()
-    dev = [jax.device_put(jnp.asarray(v)) for v in
-           (sym, count, lit_len, lits, n_cmds, n_lits, block_len)]
-    _ = np.asarray(dev[0][:1, :1])
-    h2d = n / (time.perf_counter() - t0) / 1e9
-    results["h2d_gbps"] = h2d
-    log(f"H2D (columns, {csize >> 20} MiB): {h2d:.2f} GB/s of decoded size")
+    pk = container.pack_for_device(blob)
+    pack_t = time.perf_counter() - t0
+    results["host_pack_gbps"] = n / pack_t / 1e9
+    payload_bytes = sum(pk[k].nbytes for k in
+                        ("cnts_raw", "lls_raw", "syms", "lits"))
+    log(f"host section pack (memcpy only): {results['host_pack_gbps']:.2f} "
+        f"GB/s of decoded size ({payload_bytes >> 20} MiB shipped)")
 
-    # --- decode kernel: compressed columns (HBM) -> bytes (HBM) ---
+    # --- H2D, measured on the O(compressed) payload sections ---
+    t0 = time.perf_counter()
+    dpk = {k: (jax.device_put(jnp.asarray(v)) if isinstance(v, np.ndarray)
+               else v) for k, v in pk.items()}
+    _ = np.asarray(dpk["lits"][:1, :1])
+    h2d_t = time.perf_counter() - t0
+    results["h2d_gbps"] = n / h2d_t / 1e9
+    results["h2d_payload_gbps"] = payload_bytes / h2d_t / 1e9
+    log(f"H2D (payload sections, {payload_bytes >> 20} MiB): "
+        f"{results['h2d_payload_gbps']:.2f} GB/s of payload = "
+        f"{results['h2d_gbps']:.2f} GB/s of decoded size")
+
+    # --- headline: payload sections (HBM) -> bytes (HBM), one jit
+    #     (on-device bit-unpack + event decode, O(compressed) input) ---
     def dec():
-        return decode_sup.decode_columns_device(*dev, block_size=block)
+        return unpack_device.decode_payload_device(
+            dpk["cnts_raw"], dpk["lls_raw"], dpk["syms"], dpk["lits"],
+            dpk["n_cmds"], dpk["n_lits"], dpk["block_len"],
+            cnt_bits=pk["cnt_bits"], lit_bits=pk["lit_bits"],
+            capacity=pk["capacity"], block_size=block,
+            min_count=pk["info"].min_count)
 
     t0 = time.perf_counter()
     out = dec()
@@ -218,21 +232,43 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
     dec_t = _timed_chain(dec, lambda r: np.asarray(r[0, :1]), iters, chain,
                          fetch)
     results["gbps"] = n / dec_t / 1e9
-    log(f"decode (compressed HBM -> bytes HBM): {dec_t * 1e3:.2f} ms = "
-        f"{results['gbps']:.2f} GB/s  (reference x86: "
-        f"{BASELINE_DECODE_GBPS} GB/s)")
+    log(f"decode (payload HBM -> bytes HBM, incl device unpack): "
+        f"{dec_t * 1e3:.2f} ms = {results['gbps']:.2f} GB/s  "
+        f"(reference x86: {BASELINE_DECODE_GBPS} GB/s)")
 
-    # --- e2e: blob on host -> bytes in HBM ---
+    # --- secondary: pre-unpacked columns (HBM) -> bytes (HBM) ---
+    used = int(n_cmds.max())
+    cap_used = max(128, 1 << (used - 1).bit_length())
+    dev = [jax.device_put(jnp.asarray(v)) for v in
+           (sym[:, :cap_used], count[:, :cap_used], lit_len[:, :cap_used],
+            lits, n_cmds, n_lits, block_len)]
+
+    def dec_cols():
+        return decode_sup.decode_columns_device(*dev, block_size=block)
+    outc = dec_cols()
+    okc = bool(np.asarray(jax.jit(lambda a, b: jnp.all(a == b))(outc, xd)))
+    col_t = _timed_chain(dec_cols, lambda r: np.asarray(r[0, :1]),
+                         max(3, iters // 2), chain, fetch)
+    results["decode_columns_gbps"] = n / col_t / 1e9 if okc else 0.0
+    log(f"decode (planar columns HBM -> bytes HBM): "
+        f"{results['decode_columns_gbps']:.2f} GB/s roundtrip={okc}")
+
+    # --- e2e: blob on host -> bytes in HBM (pack + H2D + device decode) ---
     t0 = time.perf_counter()
-    _, pc2 = container.deserialize_to_planar(blob)
-    d2 = [jax.device_put(jnp.asarray(v)) for v in
-          (pc2[0][:, :cap_used], pc2[1][:, :cap_used], pc2[2][:, :cap_used],
-           pc2[3], pc2[4], pc2[5], pc2[6])]
-    out2 = decode_sup.decode_columns_device(*d2, block_size=block)
+    pk2 = container.pack_for_device(blob)
+    dpk2 = {k: (jax.device_put(jnp.asarray(v))
+                if isinstance(v, np.ndarray) else v) for k, v in pk2.items()}
+    out2 = unpack_device.decode_payload_device(
+        dpk2["cnts_raw"], dpk2["lls_raw"], dpk2["syms"], dpk2["lits"],
+        dpk2["n_cmds"], dpk2["n_lits"], dpk2["block_len"],
+        cnt_bits=pk2["cnt_bits"], lit_bits=pk2["lit_bits"],
+        capacity=pk2["capacity"], block_size=block,
+        min_count=pk2["info"].min_count)
     _ = np.asarray(out2[0, :1])
     e2e = n / (time.perf_counter() - t0 - fetch) / 1e9
     results["decode_e2e_gbps"] = e2e
-    log(f"decode e2e (blob -> HBM bytes incl. unpack+H2D): {e2e:.2f} GB/s")
+    log(f"decode e2e (blob -> HBM bytes incl. pack+H2D+unpack): "
+        f"{e2e:.2f} GB/s")
 
     # --- encode kernel: bytes (HBM) -> planar commands ---
     # encode prefers smaller blocks than decode (its log-shift compaction
@@ -372,7 +408,9 @@ def main():
             f"done={results.get('done')} ok={results.get('ok')}")
 
     extra_keys = ("encode_kernel_gbps", "host_unpack_gbps", "h2d_gbps",
-                  "decode_e2e_gbps", "encode_host_gbps", "ratio",
+                  "h2d_payload_gbps", "host_pack_gbps",
+                  "decode_columns_gbps", "decode_e2e_gbps",
+                  "encode_host_gbps", "ratio",
                   "ratio_random", "decode_random_gbps",
                   "ratio_bwt", "decode_bwt_gbps")
     if results.get("done") and results.get("ok"):

@@ -195,8 +195,8 @@ def decompress(buf, *, backend: str = "auto") -> bytes:
     path, O(compressed) input), 'device' (XLA), 'host' (numpy), 'auto'
     (kernel on TPU backends, else XLA).
     """
-    info, planar_cols = container.deserialize_to_planar(bytes(buf))
-    sym, count, lit_len, lits, n_cmds, n_lits, block_len = planar_cols
+    buf = bytes(buf)
+    info, blocks = container.parse(buf)
     if info.uncompressed_size == 0:
         return b""
     try:
@@ -207,21 +207,34 @@ def decompress(buf, *, backend: str = "auto") -> bytes:
         raise container.ContainerError(
             f"block size {info.block_size} not divisible by codec "
             f"{info.codec_index}'s {w}-byte width")
-    orig_len = block_len
-    if w > 1:   # widths decode in the byte-lane domain (hrt1_params)
-        block_len = (-(-block_len.astype(np.int64) // w) * w).astype(np.int32)
     if backend == "auto":
         backend = "kernel" if jax.default_backend() == "tpu" else "device"
+
+    orig_len = np.full(info.n_blocks, info.block_size, np.int32)
+    orig_len[-1] = info.uncompressed_size - (info.n_blocks - 1) * info.block_size
+    tlen = orig_len
+    if w > 1:   # widths decode in the byte-lane domain (hrt1_params)
+        tlen = (-(-orig_len.astype(np.int64) // w) * w).astype(np.int32)
+
+    y = None
     if backend == "kernel":
-        from .ops import decode_sup
-        y = None
+        from .ops import decode_sup, unpack_device
+        interp = jax.default_backend() != "tpu"
         if (info.block_size % 128 == 0
                 and info.block_size <= decode_sup.MAX_BLOCK):
-            y = np.asarray(decode_sup.decode_planar_sup(
-                sym, count, lit_len, lits, n_cmds, n_lits, block_len,
-                block_size=info.block_size,    # whole-block flat launch
-                interpret=jax.default_backend() != "tpu"))
+            # O(compressed) device path: ship payload sections, bit-unpack
+            # the command columns on-device (ops/unpack_device.py)
+            pk = container.pack_for_device(buf, parsed=(info, blocks))
+            if pk is not None:
+                pk["block_len"] = tlen
+                y = unpack_device.decode_packed(pk, interpret=interp)
         backend = "done" if y is not None else "device"  # XLA fallback
+
+    info, planar_cols = (info, None) if y is not None else \
+        container.deserialize_to_planar(buf)
+    if planar_cols is not None:
+        sym, count, lit_len, lits, n_cmds, n_lits, _bl = planar_cols
+    block_len = tlen
     if backend == "done":
         pass
     elif backend == "device":

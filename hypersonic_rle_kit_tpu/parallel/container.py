@@ -80,16 +80,24 @@ class ContainerInfo:
 
 def block_payload(sym_b: np.ndarray, count_b: np.ndarray,
                   lit_len_b: np.ndarray, lits_b: np.ndarray,
-                  nc: int, nl: int, min_count: int) -> tuple[bytes, bytes]:
+                  nc: int, nl: int, min_count: int,
+                  cnt_bits: int | None = None,
+                  lit_bits: int | None = None) -> tuple[bytes, bytes]:
     """Serialize one block -> (table entry, payload bytes).  Shard-local:
     multi-host encoders serialize only their own blocks with this and ship
     payloads + table entries for ordered assembly (the multi-chip analog of
-    the rle8m offset table, rle8_low_entropy_cpu.c:126-191)."""
+    the rle8m offset table, rle8_low_entropy_cpu.c:126-191).
+
+    ``cnt_bits``/``lit_bits`` override the per-block minimal widths;
+    serializers pass container-uniform maxima so the device can bit-unpack
+    every block with one static shape (ops/unpack_device.py)."""
     n_runs = nc - 1
     cnts = count_b[:n_runs].astype(np.int64) - min_count
     lls = lit_len_b[:nc].astype(np.int64)
-    cnt_bits = _width_for(int(cnts.max()) if n_runs else 0)
-    lit_bits = _width_for(int(lls.max()) if nc else 0)
+    if cnt_bits is None:
+        cnt_bits = _width_for(int(cnts.max()) if n_runs else 0)
+    if lit_bits is None:
+        lit_bits = _width_for(int(lls.max()) if nc else 0)
     payload = (_bitpack(cnts, cnt_bits) + _bitpack(lls, lit_bits)
                + sym_b[:n_runs].tobytes() + lits_b[:nl].tobytes())
     entry = _BLOCK.pack(len(payload), nc, nl, cnt_bits, lit_bits,
@@ -111,12 +119,93 @@ def serialize_blocks(codec_index: int, uncompressed_size: int, block_size: int,
                      min_count: int,
                      sym: np.ndarray, count: np.ndarray, lit_len: np.ndarray,
                      lits: np.ndarray, n_cmds: np.ndarray,
-                     n_lits: np.ndarray) -> bytes:
-    """Serialize planar blocks (numpy views, shapes per ops/planar.py)."""
+                     n_lits: np.ndarray, *,
+                     uniform_bits: bool = True) -> bytes:
+    """Serialize planar blocks (numpy views, shapes per ops/planar.py).
+
+    ``uniform_bits`` (default) packs every block's count/lit_len columns at
+    the container-wide maximum width instead of each block's minimum: the
+    format is unchanged (the table stores widths per block either way) but
+    the device decode path can then bit-unpack all blocks with one static
+    shape (ops/unpack_device.py), like the reference's OpenCL decoder that
+    uploads one uniformly-parsed payload (rle8_ocl.c:335-348).  The size
+    cost is fractions of a percent on real data (blocks share run-length
+    statistics)."""
+    nb = sym.shape[0]
+    cnt_bits = lit_bits = None
+    if uniform_bits and nb:
+        cb = lb = 0
+        for b in range(nb):
+            nc = int(n_cmds[b])
+            if nc > 1:
+                cb = max(cb, _width_for(
+                    int(count[b, :nc - 1].max()) - min_count))
+            if nc:
+                lb = max(lb, _width_for(int(lit_len[b, :nc].max())))
+        cnt_bits, lit_bits = cb, lb
     parts = [block_payload(sym[b], count[b], lit_len[b], lits[b],
-                           int(n_cmds[b]), int(n_lits[b]), min_count)
-             for b in range(sym.shape[0])]
+                           int(n_cmds[b]), int(n_lits[b]), min_count,
+                           cnt_bits, lit_bits)
+             for b in range(nb)]
     return assemble(codec_index, uncompressed_size, block_size, parts)
+
+
+def pack_for_device(buf: bytes, parsed=None):
+    """Slice a container into padded per-section numpy arrays for the
+    device unpack path: the accelerator receives O(compressed) bytes (the
+    payload sections, 128-padded per block) plus the table, and bit-unpacks
+    the command columns itself (ops/unpack_device.py) -- the shape of the
+    reference's OpenCL decoder, which uploads only payload + offset table
+    (rle8_ocl.c:335-348).
+
+    Host work here is boundary memcpys only (no bit manipulation).
+    Returns None when the container's bit widths are not uniform across
+    blocks (serializers emit uniform widths by default; see
+    serialize_blocks) -- callers fall back to the host unpack.
+    """
+    info, blocks = parsed if parsed is not None else parse(buf)
+    nb = info.n_blocks
+    if nb == 0:
+        return None
+    if (len({bl["cnt_bits"] for bl in blocks}) > 1
+            or len({bl["lit_bits"] for bl in blocks}) > 1):
+        return None
+    cnt_bits = blocks[0]["cnt_bits"]
+    lit_bits = blocks[0]["lit_bits"]
+    cap = max(bl["n_cmds"] for bl in blocks)
+    cap = (cap + 127) // 128 * 128
+    pad128 = lambda n: (n + 127) // 128 * 128
+    CS = pad128(max((cnt_bits * cap + 7) // 8, 1))
+    LS = pad128(max((lit_bits * cap + 7) // 8, 1))
+    B = info.block_size
+    mv = memoryview(buf)
+    cnts_raw = np.zeros((nb, CS), np.uint8)
+    lls_raw = np.zeros((nb, LS), np.uint8)
+    syms = np.zeros((nb, cap), np.uint8)
+    lits = np.zeros((nb, B), np.uint8)
+    n_cmds = np.empty(nb, np.int32)
+    n_lits = np.empty(nb, np.int32)
+    for b, bl in enumerate(blocks):
+        nc, nl = bl["n_cmds"], bl["n_lits"]
+        n_runs = nc - 1
+        p = bl["payload_off"]
+        cb = (cnt_bits * n_runs + 7) // 8
+        lb = (lit_bits * nc + 7) // 8
+        cnts_raw[b, :cb] = np.frombuffer(mv[p:p + cb], np.uint8)
+        p += cb
+        lls_raw[b, :lb] = np.frombuffer(mv[p:p + lb], np.uint8)
+        p += lb
+        syms[b, :n_runs] = np.frombuffer(mv[p:p + n_runs], np.uint8)
+        p += n_runs
+        lits[b, :nl] = np.frombuffer(mv[p:p + nl], np.uint8)
+        n_cmds[b] = nc
+        n_lits[b] = nl
+    block_len = np.full(nb, B, np.int32)
+    block_len[-1] = info.uncompressed_size - (nb - 1) * B
+    return dict(info=info, cnt_bits=cnt_bits, lit_bits=lit_bits,
+                capacity=cap, cnts_raw=cnts_raw, lls_raw=lls_raw,
+                syms=syms, lits=lits, n_cmds=n_cmds, n_lits=n_lits,
+                block_len=block_len)
 
 
 def parse(buf: bytes) -> tuple[ContainerInfo, list[dict]]:

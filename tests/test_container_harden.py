@@ -63,3 +63,42 @@ def test_native_numpy_unpack_agree(blob):
         native.unpack_container = real
     for x, y in zip(cols_a, cols_b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_pack_for_device_uniform_and_fallback():
+    """serialize_blocks emits container-uniform bit widths by default, so
+    pack_for_device slices sections for the device unpack; per-block-width
+    containers (multi-host assemble path) return None and decompress falls
+    back to the host unpack on every backend."""
+    import numpy as np
+    from hypersonic_rle_kit_tpu import api
+    from hypersonic_rle_kit_tpu.ops import unpack_device
+    from hypersonic_rle_kit_tpu.parallel import container
+
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 4, 300_000, dtype=np.uint8)
+    data[rng.random(300_000) < 0.8] = 0
+    blob = api.compress(bytes(data), "8 Bit")
+    pk = container.pack_for_device(blob)
+    assert pk is not None
+    y = unpack_device.decode_packed(pk, interpret=True)
+    assert y.reshape(-1)[: data.size].tobytes() == bytes(data)
+
+    # per-block widths (uniform_bits=False): device path must decline
+    from hypersonic_rle_kit_tpu.ops import planar
+    from hypersonic_rle_kit_tpu.utils import native
+    B = container.DEFAULT_BLOCK_SIZE
+    nb2 = 4
+    x = np.zeros((nb2, B), np.uint8)
+    x[0, :500] = 7
+    x[2, :60000] = 9
+    lens = np.full(nb2, B, np.int32)
+    cols = native.planar_from_bytes(x, lens, planar.capacity_for(B, 6))
+    if cols is None:
+        cols = api._host_encode(x, lens, planar.capacity_for(B, 6), B, 6)
+    blob2 = container.serialize_blocks(0, nb2 * B, B, 6, *cols,
+                                       uniform_bits=False)
+    widths = {bl["cnt_bits"] for bl in container.parse(blob2)[1]}
+    if len(widths) > 1:
+        assert container.pack_for_device(blob2) is None
+    assert api.decompress(blob2, backend="kernel") == x.tobytes()
