@@ -186,15 +186,15 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
     pk = container.pack_for_device(blob)
     pack_t = time.perf_counter() - t0
     results["host_pack_gbps"] = n / pack_t / 1e9
-    payload_bytes = sum(pk[k].nbytes for k in
-                        ("cnts_raw", "lls_raw", "syms", "lits"))
+    payload_bytes = sum(pk[k].nbytes for k in unpack_device.SECTION_KEYS
+                        if k in pk and isinstance(pk[k], np.ndarray))
     log(f"host section pack (memcpy only): {results['host_pack_gbps']:.2f} "
         f"GB/s of decoded size ({payload_bytes >> 20} MiB shipped)")
 
     # --- H2D, measured on the O(compressed) payload sections ---
     t0 = time.perf_counter()
-    dpk = {k: (jax.device_put(jnp.asarray(v)) if isinstance(v, np.ndarray)
-               else v) for k, v in pk.items()}
+    dpk = {k: jax.device_put(jnp.asarray(pk[k]))
+           for k in unpack_device.SECTION_KEYS if k in pk}
     _ = np.asarray(dpk["lits"][:1, :1])
     h2d_t = time.perf_counter() - t0
     results["h2d_gbps"] = n / h2d_t / 1e9
@@ -206,12 +206,7 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
     # --- headline: payload sections (HBM) -> bytes (HBM), one jit
     #     (on-device bit-unpack + event decode, O(compressed) input) ---
     def dec():
-        return unpack_device.decode_payload_device(
-            dpk["cnts_raw"], dpk["lls_raw"], dpk["syms"], dpk["lits"],
-            dpk["n_cmds"], dpk["n_lits"], dpk["block_len"],
-            cnt_bits=pk["cnt_bits"], lit_bits=pk["lit_bits"],
-            capacity=pk["capacity"], block_size=block,
-            min_count=pk["info"].min_count)
+        return unpack_device.dispatch_packed(pk, dpk)
 
     t0 = time.perf_counter()
     out = dec()
@@ -256,14 +251,9 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
     # --- e2e: blob on host -> bytes in HBM (pack + H2D + device decode) ---
     t0 = time.perf_counter()
     pk2 = container.pack_for_device(blob)
-    dpk2 = {k: (jax.device_put(jnp.asarray(v))
-                if isinstance(v, np.ndarray) else v) for k, v in pk2.items()}
-    out2 = unpack_device.decode_payload_device(
-        dpk2["cnts_raw"], dpk2["lls_raw"], dpk2["syms"], dpk2["lits"],
-        dpk2["n_cmds"], dpk2["n_lits"], dpk2["block_len"],
-        cnt_bits=pk2["cnt_bits"], lit_bits=pk2["lit_bits"],
-        capacity=pk2["capacity"], block_size=block,
-        min_count=pk2["info"].min_count)
+    dpk2 = {k: jax.device_put(jnp.asarray(pk2[k]))
+            for k in unpack_device.SECTION_KEYS if k in pk2}
+    out2 = unpack_device.dispatch_packed(pk2, dpk2)
     _ = np.asarray(out2[0, :1])
     e2e = n / (time.perf_counter() - t0 - fetch) / 1e9
     results["decode_e2e_gbps"] = e2e

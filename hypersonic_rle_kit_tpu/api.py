@@ -64,7 +64,10 @@ def hrt1_params(cspec: "spec_mod.CodecSpec"):
     if cspec.family is F.MEMCPY:
         w = 1
     block = 49152 if w in (3, 6) else container.DEFAULT_BLOCK_SIZE
-    if cspec.short or cspec.greedy:
+    F2 = spec_mod.Family
+    if cspec.short or cspec.greedy or cspec.family is F2.LUT:
+        # deep-layout commands cost ~2 bytes (6b count + 6b lit_len + 3b
+        # symbol ref), the Short/LUT cost model (rleX_Xsl_short.h:13-42)
         min_count = 4
     elif cspec.packed:
         min_count = 5

@@ -32,6 +32,11 @@ import numpy as np
 MAGIC = 0x31545248  # 'HRT1'
 _HEADER = struct.Struct("<IBBHQII")
 _BLOCK = struct.Struct("<IIIBBBB")
+# deep-layout per-block sub-header: 7-byte symbol dictionary, overflow
+# counts for the two-tier count/lit_len columns, symbol-miss count,
+# overflow widths (see FLAG_DEEP below)
+_DEEP = struct.Struct("<7sIIIBBxx")
+FLAG_DEEP = 0x01
 DEFAULT_BLOCK_SIZE = 1 << 16
 MAX_BLOCKS = 1 << 28
 MAX_BLOCK_SIZE = 1 << 24    # allocation bound for hostile headers
@@ -76,6 +81,7 @@ class ContainerInfo:
     block_size: int
     n_blocks: int
     min_count: int
+    deep: bool = False
 
 
 def block_payload(sym_b: np.ndarray, count_b: np.ndarray,
@@ -106,10 +112,10 @@ def block_payload(sym_b: np.ndarray, count_b: np.ndarray,
 
 
 def assemble(codec_index: int, uncompressed_size: int, block_size: int,
-             parts: list[tuple[bytes, bytes]]) -> bytes:
+             parts: list[tuple[bytes, bytes]], flags: int = 0) -> bytes:
     """Ordered assembly of per-block (table entry, payload) parts into one
     container; ``parts`` must be in block order."""
-    head = _HEADER.pack(MAGIC, codec_index, 0, 0,
+    head = _HEADER.pack(MAGIC, codec_index, flags, 0,
                         uncompressed_size, block_size, len(parts))
     return (head + b"".join(p[0] for p in parts)
             + b"".join(p[1] for p in parts))
@@ -120,17 +126,22 @@ def serialize_blocks(codec_index: int, uncompressed_size: int, block_size: int,
                      sym: np.ndarray, count: np.ndarray, lit_len: np.ndarray,
                      lits: np.ndarray, n_cmds: np.ndarray,
                      n_lits: np.ndarray, *,
-                     uniform_bits: bool = True) -> bytes:
+                     uniform_bits: bool = True,
+                     deep: bool | str = "auto") -> bytes:
     """Serialize planar blocks (numpy views, shapes per ops/planar.py).
 
     ``uniform_bits`` (default) packs every block's count/lit_len columns at
-    the container-wide maximum width instead of each block's minimum: the
-    format is unchanged (the table stores widths per block either way) but
-    the device decode path can then bit-unpack all blocks with one static
-    shape (ops/unpack_device.py), like the reference's OpenCL decoder that
-    uploads one uniformly-parsed payload (rle8_ocl.c:335-348).  The size
-    cost is fractions of a percent on real data (blocks share run-length
-    statistics)."""
+    container-uniform widths instead of each block's minimum: the format is
+    unchanged (the table stores widths per block either way) but the device
+    decode path can then bit-unpack all blocks with one static shape
+    (ops/unpack_device.py), like the reference's OpenCL decoder that
+    uploads one uniformly-parsed payload (rle8_ocl.c:335-348).
+
+    ``deep`` selects the FLAG_DEEP layout (two-tier escape-coded columns +
+    3-bit symbol-dictionary references): "auto" (default) serializes both
+    ways and keeps the smaller container, so incompressible streams keep
+    the flat layout while run-heavy data gets the reference's Packed/LUT
+    compression depth (rle8_extreme_cpu.h:832-853, rleX_Xsl.h:114-264)."""
     nb = sym.shape[0]
     cnt_bits = lit_bits = None
     if uniform_bits and nb:
@@ -147,7 +158,108 @@ def serialize_blocks(codec_index: int, uncompressed_size: int, block_size: int,
                            int(n_cmds[b]), int(n_lits[b]), min_count,
                            cnt_bits, lit_bits)
              for b in range(nb)]
-    return assemble(codec_index, uncompressed_size, block_size, parts)
+    flat = assemble(codec_index, uncompressed_size, block_size, parts)
+    if not deep or not nb:
+        return flat
+
+    pooled_c = np.concatenate([
+        count[b, :max(int(n_cmds[b]) - 1, 0)].astype(np.int64) - min_count
+        for b in range(nb)]) if nb else np.zeros(0, np.int64)
+    pooled_l = np.concatenate([
+        lit_len[b, :int(n_cmds[b])].astype(np.int64) for b in range(nb)])
+    widths = _two_tier_widths(pooled_c) + _two_tier_widths(pooled_l)
+    dparts = [block_payload_deep(sym[b], count[b], lit_len[b], lits[b],
+                                 int(n_cmds[b]), int(n_lits[b]), min_count,
+                                 widths)
+              for b in range(nb)]
+    deep_blob = assemble(codec_index, uncompressed_size, block_size, dparts,
+                         flags=FLAG_DEEP)
+    if deep is True:
+        return deep_blob
+    return deep_blob if len(deep_blob) < len(flat) else flat
+
+
+def _two_tier_widths(pooled: np.ndarray) -> tuple[int, int]:
+    """Pick the uniform narrow width minimizing the total size of a
+    two-tier column (base values with an all-ones escape into a full-width
+    overflow list) over the pooled container values.
+
+    TPU-native replacement for the reference's per-command varint escapes
+    (count/range u16/u32 escapes, rleX_Xsl_short.h:296-319): the escape
+    statistics are decided once per container so the device can unpack
+    both tiers with static shapes."""
+    if pooled.size == 0:
+        return 0, 0
+    v = np.sort(pooled.astype(np.int64))
+    n = v.size
+    ovf_bits = _width_for(int(v[-1]))
+    best, bw = None, ovf_bits
+    for w in range(ovf_bits + 1):
+        esc = (1 << w) - 1
+        nge = int(n - np.searchsorted(v, esc))
+        if w == 0 and nge:
+            continue                    # no escape code exists at width 0
+        cost = n * w + nge * ovf_bits
+        if best is None or cost < best:
+            best, bw = cost, w
+    return bw, ovf_bits
+
+
+def _block_dict(sym_runs: np.ndarray) -> bytes:
+    """Top-7 run symbols of a block, most frequent first (7 bytes).
+
+    The parallel stand-in for the reference's sequential 3/7-entry MTF
+    LUT (rleX_Xsl.h:279-287): a per-block dictionary adapts to the same
+    locality without a serial dependency, so the device resolves every
+    symbol reference with seven plane-selects instead of a scan."""
+    if sym_runs.size == 0:
+        return bytes(7)
+    counts = np.bincount(sym_runs, minlength=256)
+    top = np.argsort(-counts, kind="stable")[:7]
+    return bytes(int(t) for t in top)
+
+
+def _deep_expect(nc: int, nl: int, n_cnt_ovf: int, n_ll_ovf: int,
+                 n_miss: int, cb: int, cob: int, lb: int, lob: int) -> int:
+    n_runs = nc - 1
+    return (_DEEP.size + (cb * n_runs + 7) // 8 + (cob * n_cnt_ovf + 7) // 8
+            + (lb * nc + 7) // 8 + (lob * n_ll_ovf + 7) // 8
+            + (3 * n_runs + 7) // 8 + n_miss + nl)
+
+
+def block_payload_deep(sym_b, count_b, lit_len_b, lits_b, nc: int, nl: int,
+                       min_count: int, widths: tuple[int, int, int, int]
+                       ) -> tuple[bytes, bytes]:
+    """Serialize one block in the deep layout (FLAG_DEEP): two-tier
+    count/lit_len columns, 3-bit symbol-dictionary references, symbol
+    misses, literals.  ``widths`` = (cnt_base, cnt_ovf, ll_base, ll_ovf)
+    bits, container-uniform."""
+    cb, cob, lb, lob = widths
+    n_runs = nc - 1
+    cnts = count_b[:n_runs].astype(np.int64) - min_count
+    lls = lit_len_b[:nc].astype(np.int64)
+    cesc = (1 << cb) - 1
+    lesc = (1 << lb) - 1
+    cm = cnts >= cesc if cb else np.zeros(n_runs, bool)
+    lm = lls >= lesc if lb else np.zeros(nc, bool)
+    syms = sym_b[:n_runs]
+    d7 = _block_dict(syms)
+    darr = np.frombuffer(d7, np.uint8)
+    idx = np.zeros(n_runs, np.uint8)
+    for k in range(7):
+        idx[(syms == darr[k]) & (idx == 0)] = k + 1
+    miss = syms[idx == 0]
+    sub = _DEEP.pack(d7, int(cm.sum()), int(lm.sum()), int(miss.size),
+                     cob, lob)
+    payload = (sub
+               + _bitpack(np.where(cm, cesc, cnts), cb)
+               + _bitpack(cnts[cm], cob)
+               + _bitpack(np.where(lm, lesc, lls), lb)
+               + _bitpack(lls[lm], lob)
+               + _bitpack(idx.astype(np.int64), 3)
+               + miss.tobytes() + lits_b[:nl].tobytes())
+    entry = _BLOCK.pack(len(payload), nc, nl, cb, lb, min_count, 0)
+    return entry, payload
 
 
 def pack_for_device(buf: bytes, parsed=None):
@@ -170,6 +282,9 @@ def pack_for_device(buf: bytes, parsed=None):
     if (len({bl["cnt_bits"] for bl in blocks}) > 1
             or len({bl["lit_bits"] for bl in blocks}) > 1):
         return None
+    if info.deep and (len({bl["cnt_ovf_bits"] for bl in blocks}) > 1
+                      or len({bl["ll_ovf_bits"] for bl in blocks}) > 1):
+        return None
     cnt_bits = blocks[0]["cnt_bits"]
     lit_bits = blocks[0]["lit_bits"]
     cap = max(bl["n_cmds"] for bl in blocks)
@@ -181,31 +296,59 @@ def pack_for_device(buf: bytes, parsed=None):
     mv = memoryview(buf)
     cnts_raw = np.zeros((nb, CS), np.uint8)
     lls_raw = np.zeros((nb, LS), np.uint8)
-    syms = np.zeros((nb, cap), np.uint8)
     lits = np.zeros((nb, B), np.uint8)
     n_cmds = np.empty(nb, np.int32)
     n_lits = np.empty(nb, np.int32)
-    for b, bl in enumerate(blocks):
-        nc, nl = bl["n_cmds"], bl["n_lits"]
-        n_runs = nc - 1
-        p = bl["payload_off"]
-        cb = (cnt_bits * n_runs + 7) // 8
-        lb = (lit_bits * nc + 7) // 8
-        cnts_raw[b, :cb] = np.frombuffer(mv[p:p + cb], np.uint8)
-        p += cb
-        lls_raw[b, :lb] = np.frombuffer(mv[p:p + lb], np.uint8)
-        p += lb
-        syms[b, :n_runs] = np.frombuffer(mv[p:p + n_runs], np.uint8)
-        p += n_runs
-        lits[b, :nl] = np.frombuffer(mv[p:p + nl], np.uint8)
-        n_cmds[b] = nc
-        n_lits[b] = nl
+    out = dict(info=info, cnt_bits=cnt_bits, lit_bits=lit_bits,
+               capacity=cap, cnts_raw=cnts_raw, lls_raw=lls_raw,
+               lits=lits, n_cmds=n_cmds, n_lits=n_lits)
+    if info.deep:
+        cob = blocks[0]["cnt_ovf_bits"]
+        lob = blocks[0]["ll_ovf_bits"]
+        COS = pad128(max((cob * cap + 7) // 8, 1))
+        LOS = pad128(max((lob * cap + 7) // 8, 1))
+        LUT = pad128((3 * cap + 7) // 8)
+        cnt_ovf_raw = np.zeros((nb, COS), np.uint8)
+        ll_ovf_raw = np.zeros((nb, LOS), np.uint8)
+        lut_raw = np.zeros((nb, LUT), np.uint8)
+        miss_raw = np.zeros((nb, cap), np.uint8)
+        dict7 = np.zeros((nb, 7), np.uint8)
+        out.update(cnt_ovf_bits=cob, ll_ovf_bits=lob,
+                   cnt_ovf_raw=cnt_ovf_raw, ll_ovf_raw=ll_ovf_raw,
+                   lut_raw=lut_raw, miss_raw=miss_raw, dict7=dict7)
+        for b, bl in enumerate(blocks):
+            nc, nl = bl["n_cmds"], bl["n_lits"]
+            p = bl["payload_off"]
+            offs, sizes = _deep_sections(bl, nc, nl)
+            dsts = (cnts_raw, cnt_ovf_raw, lls_raw, ll_ovf_raw,
+                    lut_raw, miss_raw, lits)
+            for dst, o, sz in zip(dsts, offs, sizes):
+                dst[b, :sz] = np.frombuffer(mv[p + o:p + o + sz], np.uint8)
+            dict7[b] = np.frombuffer(bl["dict7"], np.uint8)
+            n_cmds[b] = nc
+            n_lits[b] = nl
+    else:
+        syms = np.zeros((nb, cap), np.uint8)
+        out["syms"] = syms
+        for b, bl in enumerate(blocks):
+            nc, nl = bl["n_cmds"], bl["n_lits"]
+            n_runs = nc - 1
+            p = bl["payload_off"]
+            cb = (cnt_bits * n_runs + 7) // 8
+            lb = (lit_bits * nc + 7) // 8
+            cnts_raw[b, :cb] = np.frombuffer(mv[p:p + cb], np.uint8)
+            p += cb
+            lls_raw[b, :lb] = np.frombuffer(mv[p:p + lb], np.uint8)
+            p += lb
+            syms[b, :n_runs] = np.frombuffer(mv[p:p + n_runs], np.uint8)
+            p += n_runs
+            lits[b, :nl] = np.frombuffer(mv[p:p + nl], np.uint8)
+            n_cmds[b] = nc
+            n_lits[b] = nl
     block_len = np.full(nb, B, np.int32)
     block_len[-1] = info.uncompressed_size - (nb - 1) * B
-    return dict(info=info, cnt_bits=cnt_bits, lit_bits=lit_bits,
-                capacity=cap, cnts_raw=cnts_raw, lls_raw=lls_raw,
-                syms=syms, lits=lits, n_cmds=n_cmds, n_lits=n_lits,
-                block_len=block_len)
+    out["block_len"] = block_len
+    return out
 
 
 def parse(buf: bytes) -> tuple[ContainerInfo, list[dict]]:
@@ -218,9 +361,12 @@ def parse(buf: bytes) -> tuple[ContainerInfo, list[dict]]:
     """
     if len(buf) < _HEADER.size:
         raise ContainerError("truncated header")
-    magic, codec, _flags, _rsv, usize, bsize, nb = _HEADER.unpack_from(buf, 0)
+    magic, codec, flags, _rsv, usize, bsize, nb = _HEADER.unpack_from(buf, 0)
     if magic != MAGIC:
         raise ContainerError("not an HRT1 container")
+    if flags & ~FLAG_DEEP:
+        raise ContainerError(f"unknown container flags {flags:#x}")
+    deep = bool(flags & FLAG_DEEP)
     if bsize <= 0 or bsize > MAX_BLOCK_SIZE or nb < 0 or nb > MAX_BLOCKS:
         raise ContainerError(f"implausible geometry: block_size={bsize} "
                              f"n_blocks={nb}")
@@ -242,8 +388,27 @@ def parse(buf: bytes) -> tuple[ContainerInfo, list[dict]]:
             raise ContainerError(f"block {b}: n_lits {nl} > block size")
         if cnt_bits > 32 or lit_bits > 32:
             raise ContainerError(f"block {b}: bit width > 32")
-        expect = ((cnt_bits * (nc - 1) + 7) // 8 + (lit_bits * nc + 7) // 8
-                  + (nc - 1) + nl)
+        extra = {}
+        if deep:
+            if payload_off + _DEEP.size > len(buf):
+                raise ContainerError(f"block {b}: truncated deep sub-header")
+            d7, n_cov, n_lov, n_miss, cob, lob = _DEEP.unpack_from(
+                buf, payload_off)
+            if n_cov > max(nc - 1, 0) or n_lov > nc or n_miss > max(nc - 1, 0):
+                raise ContainerError(f"block {b}: overflow/miss counts "
+                                     "exceed command count")
+            if cob > 32 or lob > 32:
+                raise ContainerError(f"block {b}: overflow width > 32")
+            if (cnt_bits == 0 and n_cov) or (lit_bits == 0 and n_lov):
+                raise ContainerError(f"block {b}: overflow entries with "
+                                     "zero base width")
+            expect = _deep_expect(nc, nl, n_cov, n_lov, n_miss,
+                                  cnt_bits, cob, lit_bits, lob)
+            extra = dict(dict7=d7, n_cnt_ovf=n_cov, n_ll_ovf=n_lov,
+                         n_miss=n_miss, cnt_ovf_bits=cob, ll_ovf_bits=lob)
+        else:
+            expect = ((cnt_bits * (nc - 1) + 7) // 8
+                      + (lit_bits * nc + 7) // 8 + (nc - 1) + nl)
         if pbytes != expect:
             raise ContainerError(f"block {b}: payload {pbytes} bytes, "
                                  f"fields need {expect}")
@@ -251,9 +416,9 @@ def parse(buf: bytes) -> tuple[ContainerInfo, list[dict]]:
             raise ContainerError(f"block {b}: payload past end of buffer")
         blocks.append(dict(payload_off=payload_off, payload_bytes=pbytes,
                            n_cmds=nc, n_lits=nl, cnt_bits=cnt_bits,
-                           lit_bits=lit_bits))
+                           lit_bits=lit_bits, **extra))
         payload_off += pbytes
-    info = ContainerInfo(codec, usize, bsize, nb, min_count)
+    info = ContainerInfo(codec, usize, bsize, nb, min_count, deep)
     return info, blocks
 
 
@@ -270,7 +435,7 @@ def deserialize_to_planar(buf: bytes, capacity: int | None = None):
     block_len = np.full(nb, B, np.int32)
     if nb:
         block_len[-1] = info.uncompressed_size - (nb - 1) * B
-    if nb:
+    if nb and not info.deep:
         from ..utils import native
         cols = native.unpack_container(
             np.frombuffer(buf, np.uint8),
@@ -296,17 +461,78 @@ def deserialize_to_planar(buf: bytes, capacity: int | None = None):
         nc, nl = bl["n_cmds"], bl["n_lits"]
         n_runs = nc - 1
         p = bl["payload_off"]
-        cnt_bytes = (bl["cnt_bits"] * n_runs + 7) // 8
-        lit_bytes = (bl["lit_bits"] * nc + 7) // 8
-        cnts = _bitunpack(mv[p:p + cnt_bytes], bl["cnt_bits"], n_runs)
-        p += cnt_bytes
-        lls = _bitunpack(mv[p:p + lit_bytes], bl["lit_bits"], nc)
-        p += lit_bytes
-        sym[b, :n_runs] = np.frombuffer(mv[p:p + n_runs], np.uint8)
-        p += n_runs
-        lits[b, :nl] = np.frombuffer(mv[p:p + nl], np.uint8)
+        if info.deep:
+            cnts, lls, syms = _read_deep_block(mv, p, bl, nc, nl)
+            sym[b, :n_runs] = syms
+            lits[b, :nl] = np.frombuffer(
+                mv[p + bl["payload_bytes"] - nl:
+                   p + bl["payload_bytes"]], np.uint8)
+        else:
+            cnt_bytes = (bl["cnt_bits"] * n_runs + 7) // 8
+            lit_bytes = (bl["lit_bits"] * nc + 7) // 8
+            cnts = _bitunpack(mv[p:p + cnt_bytes], bl["cnt_bits"], n_runs)
+            p += cnt_bytes
+            lls = _bitunpack(mv[p:p + lit_bytes], bl["lit_bits"], nc)
+            p += lit_bytes
+            sym[b, :n_runs] = np.frombuffer(mv[p:p + n_runs], np.uint8)
+            p += n_runs
+            lits[b, :nl] = np.frombuffer(mv[p:p + nl], np.uint8)
         count[b, :n_runs] = cnts + info.min_count
         lit_len[b, :nc] = lls
         n_cmds[b] = nc
         n_lits[b] = nl
     return info, (sym, count, lit_len, lits, n_cmds, n_lits, block_len)
+
+
+def _deep_sections(bl: dict, nc: int, nl: int):
+    """Byte offsets (relative to the block payload) and lengths of the
+    deep layout's sections, in order: cnt_base, cnt_ovf, ll_base, ll_ovf,
+    lut3, sym_miss, lits."""
+    n_runs = nc - 1
+    cb, lb = bl["cnt_bits"], bl["lit_bits"]
+    cob, lob = bl["cnt_ovf_bits"], bl["ll_ovf_bits"]
+    sizes = [(cb * n_runs + 7) // 8,
+             (cob * bl["n_cnt_ovf"] + 7) // 8,
+             (lb * nc + 7) // 8,
+             (lob * bl["n_ll_ovf"] + 7) // 8,
+             (3 * n_runs + 7) // 8,
+             bl["n_miss"], nl]
+    offs, o = [], _DEEP.size
+    for sz in sizes:
+        offs.append(o)
+        o += sz
+    return offs, sizes
+
+
+def _read_deep_block(mv, p: int, bl: dict, nc: int, nl: int):
+    """Resolve one deep-layout block to (counts - min_count, lit_lens,
+    run symbols) with vectorized numpy (the host golden for the device
+    resolution in ops/unpack_device.py)."""
+    n_runs = nc - 1
+    offs, sizes = _deep_sections(bl, nc, nl)
+    sec = [bytes(mv[p + o:p + o + sz]) for o, sz in zip(offs, sizes)]
+    cb, lb = bl["cnt_bits"], bl["lit_bits"]
+    cob, lob = bl["cnt_ovf_bits"], bl["ll_ovf_bits"]
+    cnts = _bitunpack(sec[0], cb, n_runs)
+    cesc = (cnts == (1 << cb) - 1) if cb else np.zeros(n_runs, bool)
+    if int(cesc.sum()) != bl["n_cnt_ovf"]:
+        raise ContainerError("deep block: count escape/overflow mismatch")
+    if bl["n_cnt_ovf"]:
+        cnts[cesc] = _bitunpack(sec[1], cob, bl["n_cnt_ovf"])
+    lls = _bitunpack(sec[2], lb, nc)
+    lesc = (lls == (1 << lb) - 1) if lb else np.zeros(nc, bool)
+    if int(lesc.sum()) != bl["n_ll_ovf"]:
+        raise ContainerError("deep block: lit_len escape/overflow mismatch")
+    if bl["n_ll_ovf"]:
+        lls[lesc] = _bitunpack(sec[3], lob, bl["n_ll_ovf"])
+    idx = _bitunpack(sec[4], 3, n_runs)
+    darr = np.frombuffer(bl["dict7"], np.uint8)
+    syms = np.zeros(n_runs, np.uint8)
+    hit = idx > 0
+    syms[hit] = darr[idx[hit] - 1]
+    nm = int((~hit).sum())
+    if nm != bl["n_miss"]:
+        raise ContainerError(f"deep block: {nm} symbol misses but "
+                             f"{bl['n_miss']} stored")
+    syms[~hit] = np.frombuffer(sec[5], np.uint8, count=nm)
+    return cnts, lls, syms

@@ -113,5 +113,18 @@ def test_two_process_cpu_mesh(tmp_path):
     x[:, ::3] = 0
     payload = x.reshape(-1).tobytes()
     blob = container.assemble(0, NB * B, B, [parts[b] for b in range(NB)])
-    assert blob == api.compress(payload, block_size=B, backend="device")
+    # per-host parts serialize flat with per-block widths (no global
+    # statistics crossed the wire); compare against the single-process
+    # serialization with the same settings, and against decoded bytes
+    from hypersonic_rle_kit_tpu.ops import device as dev_ops, planar
+    lens = np.full(NB, B, np.int32)
+    pb = dev_ops.encode_blocks(x, lens,
+                               capacity=planar.capacity_for(B, 6),
+                               min_count=6)
+    ref_blob = container.serialize_blocks(
+        0, NB * B, B, 6, *[np.asarray(v) for v in
+                           (pb.sym, pb.count, pb.lit_len, pb.lits,
+                            pb.n_cmds, pb.n_lits)],
+        uniform_bits=False, deep=False)
+    assert blob == ref_blob
     assert api.decompress(blob, backend="device") == payload
