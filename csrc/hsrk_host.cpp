@@ -568,3 +568,433 @@ int hsrk_sh_decode(const uint8_t *buf, int64_t csize, int64_t usize,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Reference-stream grammar walkers -> planar columns (ops/ref_device.py's
+// Python iterators, ported; those are byte-exact with formats/* which pin
+// parity against the C library).  One walk is O(compressed); the planar
+// build splits commands at fixed block boundaries and phase-decomposes
+// multi-byte symbols (width > 8) into per-phase byte streams, mirroring
+// ref_device.parse_to_planar exactly.  Two passes share the walker: pass 1
+// counts per-block commands/literals, pass 2 fills the arrays.
+// ---------------------------------------------------------------------------
+
+namespace refwalk {
+
+struct Sink {
+  int64_t B = 0;            // block bytes (per phase)
+  int nbp = 0, s = 1;
+  int cap = 0, lcap = 0;    // 0 => counting pass
+  uint8_t *sym = nullptr; int32_t *cnt = nullptr; int32_t *ll = nullptr;
+  uint8_t *lits = nullptr;
+  int32_t *n_cmds = nullptr, *n_lits = nullptr;
+  std::vector<int64_t> pos;
+  std::vector<int32_t> pend;
+  int64_t gpos = 0;
+  bool fail = false;
+
+  void init(int64_t B_, int nbp_, int s_, int cap_, int lcap_,
+            uint8_t *sym_, int32_t *cnt_, int32_t *ll_, uint8_t *lits_,
+            int32_t *ncmds_, int32_t *nlits_) {
+    B = B_; nbp = nbp_; s = s_; cap = cap_; lcap = lcap_;
+    sym = sym_; cnt = cnt_; ll = ll_; lits = lits_;
+    n_cmds = ncmds_; n_lits = nlits_;
+    pos.assign(s, 0); pend.assign(s, 0);
+    std::fill(n_cmds, n_cmds + (int64_t)s * nbp, 0);
+    std::fill(n_lits, n_lits + (int64_t)s * nbp, 0);
+  }
+
+  inline void commit(int r, int64_t k, uint8_t sb, int32_t c) {
+    const int64_t blk = (int64_t)r * nbp + k;
+    const int32_t idx = n_cmds[blk]++;
+    if (cap) {
+      if (idx >= cap) { fail = true; return; }
+      sym[blk * cap + idx] = sb;
+      cnt[blk * cap + idx] = c;
+      ll[blk * cap + idx] = pend[r];
+    }
+    pend[r] = 0;
+  }
+
+  // literal bytes for phase r: src, stride, n bytes
+  inline void add_lits(int r, const uint8_t *src, int64_t stride, int64_t n) {
+    int64_t i = 0;
+    while (i < n && !fail) {
+      const int64_t k = pos[r] / B;
+      if (k >= nbp) { fail = true; return; }
+      const int64_t room = (k + 1) * B - pos[r];
+      const int64_t c = std::min(n - i, room);
+      const int64_t li = n_lits[(int64_t)r * nbp + k];
+      if (lcap) {
+        if (li + c > lcap) { fail = true; return; }
+        uint8_t *dst = lits + ((int64_t)r * nbp + k) * lcap + li;
+        if (stride == 1) memcpy(dst, src + i, (size_t)c);
+        else for (int64_t j = 0; j < c; j++) dst[j] = src[(i + j) * stride];
+      }
+      n_lits[(int64_t)r * nbp + k] += (int32_t)c;
+      pend[r] += (int32_t)c;
+      pos[r] += c;
+      i += c;
+      if (c == room) commit(r, k, 0, 0);
+    }
+  }
+
+  inline void add_run(int r, uint8_t sb, int64_t length) {
+    while (length > 0 && !fail) {
+      const int64_t k = pos[r] / B;
+      if (k >= nbp) { fail = true; return; }
+      const int64_t room = (k + 1) * B - pos[r];
+      const int64_t c = std::min(length, room);
+      commit(r, k, sb, (int32_t)c);
+      pos[r] += c;
+      length -= c;
+    }
+  }
+
+  // one grammar command: literal span [p, p+rng) then a run of nbytes of
+  // the s-byte pattern (aligned to the run start)
+  inline void emit(const uint8_t *buf, int64_t p, int64_t rng,
+                   const uint8_t *pattern, int64_t nbytes) {
+    if (s == 1) {
+      if (rng) add_lits(0, buf + p, 1, rng);
+      if (nbytes) add_run(0, pattern[0], nbytes);
+      gpos += rng + nbytes;
+      return;
+    }
+    if (rng) {
+      for (int r = 0; r < s; r++) {
+        const int64_t off = ((r - gpos) % s + s) % s;
+        if (off < rng)
+          add_lits(r, buf + p + off, s, (rng - off + s - 1) / s);
+      }
+      gpos += rng;
+    }
+    if (nbytes) {
+      for (int r = 0; r < s; r++) {
+        const int64_t off = ((r - gpos) % s + s) % s;
+        if (off < nbytes)
+          add_run(r, pattern[off % s], (nbytes - off + s - 1) / s);
+      }
+      gpos += nbytes;
+    }
+  }
+
+  void finish(int64_t total_per_phase) {
+    for (int r = 0; r < s && !fail; r++) {
+      // pad ragged tail phases with zero literals (ref_device.py)
+      if (pos[r] < total_per_phase)
+        add_lits(r, nullptr, 0, 0);  // placeholder; caller pads via zeros
+      const int64_t blk = (int64_t)r * nbp + (nbp - 1);
+      if (pend[r] || n_cmds[blk] == 0) commit(r, nbp - 1, 0, 0);
+    }
+  }
+};
+
+struct Rd {
+  const uint8_t *buf; int64_t len; int64_t p; bool fail = false;
+  inline bool need(int64_t n) {
+    if (p + n > len) { fail = true; return false; }
+    return true;
+  }
+  inline uint32_t u8() { if (!need(1)) return 0; return buf[p++]; }
+  inline uint32_t u16() {
+    if (!need(2)) return 0;
+    uint16_t v; memcpy(&v, buf + p, 2); p += 2; return v;
+  }
+  inline uint32_t u32() {
+    if (!need(4)) return 0;
+    uint32_t v; memcpy(&v, buf + p, 4); p += 4; return v;
+  }
+  inline const uint8_t *bytes(int64_t n) {
+    if (!need(n)) return nullptr;
+    const uint8_t *q = buf + p; p += n; return q;
+  }
+};
+
+// shared MTF list for LUT/Short families
+struct Mtf {
+  uint8_t cur[16];
+  uint8_t others[7][16];
+  int s = 1, n = 0;
+  void init(int s_, int lutsz, bool zero_cur) {
+    static const uint8_t base[7] = {0x00, 0x7F, 0xFF, 0x01, 0x7E, 0x80, 0xFE};
+    s = s_; n = lutsz > 0 ? lutsz - 1 : 0;
+    memset(cur, zero_cur ? 0 : base[0], 16);
+    if (lutsz > 0) memset(cur, base[0], 16);
+    for (int k = 0; k < n; k++) memset(others[k], base[k + 1], 16);
+  }
+  inline void hit(int idx) {            // idx in [1, n]: rotate to front
+    uint8_t tmp[16]; memcpy(tmp, others[idx - 1], 16);
+    for (int k = idx - 1; k > 0; k--) memcpy(others[k], others[k - 1], 16);
+    memcpy(others[0], cur, 16);
+    memcpy(cur, tmp, 16);
+  }
+  inline void miss(const uint8_t *nsym) {   // new symbol from the stream
+    for (int k = n - 1; k > 0; k--) memcpy(others[k], others[k - 1], 16);
+    if (n > 0) memcpy(others[0], cur, 16);
+    memcpy(cur, nsym, (size_t)s);
+  }
+};
+
+}  // namespace refwalk
+
+extern "C" {
+
+// family: 0=rle8, 1=rlex(16..64), 2=rle128, 3=lut, 4=short
+// flags: 1=packed, 2=byte_aligned, 4=single
+// pass 1: cap == 0 -> counts only.  Returns 0 on success.
+int ref_parse_planar(const uint8_t *buf, int64_t buflen,
+                     int family, int width, int flags, int lutsz,
+                     int64_t usize, int64_t block_size,
+                     uint8_t *sym, int32_t *cnt, int32_t *ll, uint8_t *lits,
+                     int32_t *n_cmds, int32_t *n_lits,
+                     int cap, int lcap) {
+  using namespace refwalk;
+  const bool packed = flags & 1, byte_al = flags & 2, single = flags & 4;
+  const int s = family == 0 ? 1 : (family == 2 ? 16 : width / 8);
+  const int64_t m = (usize + s - 1) / s;
+  const int nbp = (int)std::max<int64_t>(1, (m + block_size - 1) / block_size);
+  Sink sink;
+  sink.init(block_size, nbp, s, cap, lcap, sym, cnt, ll, lits,
+            n_cmds, n_lits);
+  Rd rd{buf, buflen, family == 0 ? 9 : 8};
+
+  if (family == 0) {                                   // ---- rle8 ----
+    if (buflen < 9) return 1;
+    const uint8_t mode = buf[8];
+    rd.p = 9;
+    if (mode == 1) {                                   // single
+      const uint8_t symbol = (uint8_t)rd.u8();
+      const int min_r = packed ? 2 : 4;                // *_SINGLE_MIN_RANGE
+      for (;;) {
+        uint32_t stored = rd.u8();
+        if (stored == 0) stored = rd.u32();
+        uint32_t rng = rd.u8();
+        if (rng == 0) { rng = rd.u32(); if (rng == 0) break; }
+        if (rd.fail) return 1;
+        rng -= 1;
+        const int64_t p0 = rd.p;
+        if (!rd.need(rng)) return 1;
+        if (stored == 0) { sink.emit(buf, p0, rng, nullptr, 0); break; }
+        sink.emit(buf, p0, rng, &symbol, (int64_t)stored + min_r - 1);
+        rd.p += rng;
+        if (sink.fail) return 2;
+      }
+    } else if (mode == 0) {                            // multi
+      uint8_t symbol = 0;
+      for (;;) {
+        uint32_t stored, rng;
+        if (!packed) {
+          symbol = (uint8_t)rd.u8();
+          stored = rd.u8();
+          if (stored == 0) stored = rd.u32();
+          rng = rd.u8();
+          if (rng == 0) { rng = rd.u32(); if (rng == 0) break; }
+        } else {
+          const uint32_t b0 = rd.u8();
+          stored = b0 & 0x7F;
+          if (stored == 0) stored = rd.u32();
+          if (!(b0 & 0x80)) symbol = (uint8_t)rd.u8();
+          if (!rd.need(1)) return 1;
+          const uint8_t r0 = buf[rd.p];
+          if (r0 & 1) { rng = rd.u32() >> 1; if (rng == 0) break; }
+          else { rng = r0 >> 1; rd.p += 1; }
+        }
+        if (rd.fail) return 1;
+        rng -= 1;
+        const int64_t p0 = rd.p;
+        if (!rd.need(rng)) return 1;
+        const int min_r = packed ? 3 : 6;              // *_MIN_RANGE_SHORT
+        if (stored == 0) { sink.emit(buf, p0, rng, nullptr, 0); break; }
+        sink.emit(buf, p0, rng, &symbol, (int64_t)stored + min_r - 1);
+        rd.p += rng;
+        if (sink.fail) return 2;
+      }
+    } else return 1;
+  } else if (family == 1 || family == 2) {             // ---- rleX/128 ----
+    if (buflen < 8) return 1;
+    const bool prefer = packed && byte_al;
+    int64_t min_short, dummy;
+    if (family == 2) {
+      min_short = packed ? 3 : 16 + 1 + 1 + 2;
+    } else {
+      min_short = packed ? 3 : s + 1 + 1 + 2;
+    }
+    (void)dummy;
+    uint8_t symbol[16]; memset(symbol, 0, 16);
+    for (;;) {
+      uint32_t stored, rng;
+      if (!packed) {
+        const uint8_t *q = rd.bytes(s);
+        if (!q) return 1;
+        memcpy(symbol, q, (size_t)s);
+        stored = rd.u8();
+        if (stored == 0) stored = rd.u32();
+      } else {
+        const uint32_t b0 = rd.u8();
+        stored = b0 & 0x7F;
+        if (stored == 0) stored = rd.u32();
+        if (!(b0 & 0x80)) {
+          const uint8_t *q = rd.bytes(s);
+          if (!q) return 1;
+          memcpy(symbol, q, (size_t)s);
+        }
+      }
+      if (prefer) {
+        if (!rd.need(1)) return 1;
+        const uint8_t r0 = buf[rd.p];
+        if (r0 & 1) { rng = rd.u32() >> 1; if (rng == 0) break; }
+        else { rng = r0 >> 1; rd.p += 1; }
+      } else {
+        rng = rd.u8();
+        if (rng == 0) { rng = rd.u32(); if (rng == 0) break; }
+      }
+      if (rd.fail) return 1;
+      rng -= 1;
+      const int64_t p0 = rd.p;
+      if (!rd.need(rng)) return 1;
+      if (stored == 0) { sink.emit(buf, p0, rng, symbol, 0); break; }
+      int64_t nbytes;
+      if (!byte_al) nbytes = ((int64_t)stored + min_short / s - 1) * s;
+      else nbytes = (int64_t)stored + min_short - 1;
+      sink.emit(buf, p0, rng, symbol, nbytes);
+      rd.p += rng;
+      if (sink.fail) return 2;
+    }
+  } else if (family == 3) {                            // ---- LUT ----
+    if (buflen < 8) return 1;
+    const int range_bits = lutsz == 3 ? 7 : 6;
+    const uint32_t max_tc = 127, max_tr = (1u << range_bits) - 1;
+    const int sym_shift = lutsz == 3 ? 14 : 13;
+    const bool unbound = byte_al || width == 8;
+    const int64_t MIN_SHORT = 3, COUNT_OFFSET = 2, RANGE_OFFSET = 2;
+    Mtf mtf; mtf.init(s, lutsz, false);
+    for (;;) {
+      const uint32_t value = rd.u16();
+      uint32_t rng = value & max_tr;
+      uint32_t stored = (value >> range_bits) & max_tc;
+      const uint32_t sym_idx = value >> sym_shift;
+      if ((int)sym_idx == lutsz) {
+        const uint8_t *q = rd.bytes(s);
+        if (!q) return 1;
+        mtf.miss(q);
+      } else if (sym_idx > 0) {
+        mtf.hit((int)sym_idx);
+      }
+      if (stored == 0) stored = rd.u32();
+      else if (stored == 1) stored = rd.u16();
+      if (rng == 0) rng = rd.u32();
+      else if (rng == 1) { rng = rd.u16(); if (rng == 0) break; }
+      if (rd.fail) return 1;
+      rng -= RANGE_OFFSET;
+      const int64_t p0 = rd.p;
+      if (!rd.need(rng)) return 1;
+      if (stored == 0) { sink.emit(buf, p0, rng, mtf.cur, 0); break; }
+      int64_t nbytes;
+      if (unbound) nbytes = (int64_t)stored + MIN_SHORT - COUNT_OFFSET;
+      else nbytes = ((int64_t)stored + MIN_SHORT / s - COUNT_OFFSET) * s;
+      sink.emit(buf, p0, rng, mtf.cur, nbytes);
+      rd.p += rng;
+      if (sink.fail) return 2;
+    }
+  } else if (family == 4) {                            // ---- Short ----
+    if (buflen < 8) return 1;
+    const int lut_bits = lutsz == 0 ? 0 : (lutsz == 1 ? 1 : (lutsz == 3 ? 2 : 3));
+    const int cbp = lutsz == 0 ? 4 : (lutsz == 7 ? 2 : 3);
+    const int rbp = 8 - lut_bits - cbp;
+    const uint32_t max_pr = (1u << rbp) - 1;
+    const uint32_t invalid = (1u << cbp) - 1;
+    const int rb = lutsz != 7 ? (24 - lut_bits - cbp - 9)
+                              : (24 - lut_bits - rbp - 9);
+    const bool unbound = byte_al || width == 8;
+    const int64_t COUNT_OFFSET = 2, RANGE_OFFSET = 2;
+    int64_t min_short;
+    if (lutsz != 0 || single) min_short = 2;
+    else min_short = 1 + s + 1;
+    Mtf mtf;
+    uint8_t single_sym[16]; memset(single_sym, 0, 16);
+    if (single) {
+      const uint8_t *q = rd.bytes(s);
+      if (!q) return 1;
+      memcpy(single_sym, q, (size_t)s);
+    } else {
+      mtf.init(s, lutsz, lutsz == 0);
+      if (lutsz == 0) memset(mtf.cur, 0, 16);
+    }
+    const uint8_t *cursym = single ? single_sym : mtf.cur;
+    for (;;) {
+      const uint32_t b0 = rd.u8();
+      const uint32_t sym_idx = b0 >> (cbp + rbp);
+      const uint32_t count3 = (b0 >> rbp) & invalid;
+      uint32_t stored, rng;
+      if (count3 == invalid) {
+        const uint32_t b1 = rd.u8(), b2 = rd.u8();
+        stored = (b1 >> (rb - 8)) | ((b0 & max_pr) << (8 - (rb - 8)));
+        rng = b2 | ((b1 & ((1u << (rb - 8)) - 1)) << 8);
+        if (stored == 0) stored = rd.u32();
+        else if (stored == 1) stored = rd.u16();
+        if (rng == 0) rng = rd.u32();
+        else if (rng == 1) { rng = rd.u16(); if (rng == 0) break; }
+      } else {
+        stored = count3 + COUNT_OFFSET;
+        rng = (b0 & max_pr) + RANGE_OFFSET;
+      }
+      if (!single) {
+        if (lutsz == 0) {
+          const uint8_t *q = rd.bytes(s);
+          if (!q) return 1;
+          memcpy(mtf.cur, q, (size_t)s);
+        } else if (lutsz == 1) {
+          if (sym_idx == 1) {
+            const uint8_t *q = rd.bytes(s);
+            if (!q) return 1;
+            memcpy(mtf.cur, q, (size_t)s);
+          }
+        } else {
+          if ((int)sym_idx == lutsz) {
+            const uint8_t *q = rd.bytes(s);
+            if (!q) return 1;
+            mtf.miss(q);
+          } else if (sym_idx > 0) {
+            mtf.hit((int)sym_idx);
+          }
+        }
+      }
+      if (rd.fail) return 1;
+      rng -= RANGE_OFFSET;
+      const int64_t p0 = rd.p;
+      if (!rd.need(rng)) return 1;
+      if (stored == 0) { sink.emit(buf, p0, rng, cursym, 0); break; }
+      int64_t nbytes;
+      if (unbound) nbytes = (int64_t)stored + min_short - COUNT_OFFSET;
+      else nbytes = ((int64_t)stored + min_short / s - COUNT_OFFSET) * s;
+      sink.emit(buf, p0, rng, cursym, nbytes);
+      rd.p += rng;
+      if (sink.fail) return 2;
+    }
+  } else return 1;
+
+  if (sink.fail || rd.fail) return 2;
+  // pad ragged tail phases with zero literals, then flush pendings
+  if (s > 1) {
+    static const uint8_t zeros[16] = {0};
+    for (int r = 0; r < s; r++) {
+      const int64_t real = (usize - r + s - 1) / s;
+      if (m > real && real >= 0) {
+        int64_t padn = m - (real > 0 ? real : 0);
+        while (padn > 0 && !sink.fail) {
+          const int64_t c = std::min<int64_t>(padn, 16);
+          sink.add_lits(r, zeros, 1, c);
+          padn -= c;
+        }
+      }
+    }
+  }
+  for (int r = 0; r < s; r++) {
+    const int64_t blk = (int64_t)r * nbp + (nbp - 1);
+    if (sink.pend[r] || sink.n_cmds[blk] == 0) sink.commit(r, nbp - 1, 0, 0);
+  }
+  return sink.fail ? 2 : 0;
+}
+
+}  // extern "C"

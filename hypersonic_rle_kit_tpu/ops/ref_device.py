@@ -452,6 +452,25 @@ def parse_to_planar(buf: bytes, commands, usize: int, s: int,
 # public entry
 # ---------------------------------------------------------------------------
 
+def _native_args(cspec):
+    """(family, flags) for the csrc walker; None when no native walker."""
+    from .. import spec as spec_mod
+    F = spec_mod.Family
+    flags = ((1 if cspec.packed else 0) | (2 if cspec.byte_aligned else 0)
+             | (4 if cspec.single else 0))
+    if cspec.family is F.RLE8:
+        return 0, flags
+    if cspec.family is F.RLEX:
+        return (2 if cspec.width == 128 else 1), flags
+    if cspec.family is F.LUT:
+        return 3, flags
+    if cspec.family is F.SHORT and not cspec.greedy:
+        return 4, flags
+    if cspec.family is F.SHORT:          # greedy shares the Short decoder
+        return 4, flags
+    return None, 0
+
+
 def _iter_for(cspec, buf: bytes):
     """Grammar iterator + (usize, symbol width) for a codec spec."""
     from .. import spec as spec_mod
@@ -501,7 +520,19 @@ def decompress_ref_device(buf, codec, *, block_size: int = DEFAULT_BLOCK,
         return b""
     m = -(-usize // s)
     B = min(block_size, max(_ROW, -(-m // _ROW) * _ROW))
-    builders, cols = parse_to_planar(buf, it, usize, s, B)
+    # native grammar walk (csrc ref_parse_planar, ~40x the Python
+    # iterators); identical planar output, pinned by test_ref_device.py
+    cols = nbp = None
+    fam, fl = _native_args(cspec)
+    if fam is not None:
+        from ..utils import native as native_mod
+        res = native_mod.ref_parse_planar(
+            buf, fam, cspec.width or 8, fl, cspec.lut or 0, usize, B)
+        if res is not None:
+            cols, nbp = res
+    if cols is None:
+        builders, cols = parse_to_planar(buf, it, usize, s, B)
+        nbp = builders[0].nb
     sym, count, lit_len, lits, n_cmds, n_lits, block_len = cols
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -520,6 +551,5 @@ def decompress_ref_device(buf, codec, *, block_size: int = DEFAULT_BLOCK,
         y = device_mod.decode_blocks(pb)
     if s == 1:
         return np.asarray(y).reshape(-1)[:usize].tobytes()
-    nbp = builders[0].nb
     out = jnp.transpose(y.reshape(s, nbp * B)[:, :m])   # on-device interleave
     return np.asarray(out).reshape(-1)[:usize].tobytes()

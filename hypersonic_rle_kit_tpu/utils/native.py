@@ -68,6 +68,7 @@ def lib():
     L.hsrk_mmtf.restype = ctypes.c_int
     L.hsrk_le_decode.restype = ctypes.c_int
     L.hsrk_sh_decode.restype = ctypes.c_int
+    L.ref_parse_planar.restype = ctypes.c_int
     _lib = L
     return _lib
 
@@ -240,3 +241,45 @@ def rle8_decompress(buf: bytes) -> bytes | None:
                                ctypes.c_uint32(len(buf)), _ptr(out),
                                ctypes.c_uint32(out.size))
     return out[:r].tobytes() if r else b""
+
+
+def ref_parse_planar(buf: bytes, family: int, width: int, flags: int,
+                     lutsz: int, usize: int, block_size: int):
+    """Native reference-stream grammar walk -> planar columns (two passes:
+    count, then fill -- csrc ref_parse_planar).  Returns the planar tuple
+    (sym, count, lit_len, lits, n_cmds, n_lits, block_len) in phase-major
+    block order, plus blocks-per-phase; None if the library is unavailable
+    or the walk fails (caller falls back to the Python walkers)."""
+    L = lib()
+    if L is None:
+        return None
+    s = 1 if family == 0 else (16 if family == 2 else width // 8)
+    m = -(-usize // s)
+    nbp = max(1, -(-m // block_size))
+    nb = s * nbp
+    bc = np.frombuffer(buf, np.uint8)
+    n_cmds = np.zeros(nb, np.int32)
+    n_lits = np.zeros(nb, np.int32)
+    args0 = (_ptr(bc), ctypes.c_int64(len(buf)), ctypes.c_int(family),
+             ctypes.c_int(width), ctypes.c_int(flags), ctypes.c_int(lutsz),
+             ctypes.c_int64(usize), ctypes.c_int64(block_size))
+    rc = L.ref_parse_planar(*args0, None, None, None, None,
+                            _ptr(n_cmds), _ptr(n_lits),
+                            ctypes.c_int(0), ctypes.c_int(0))
+    if rc != 0:
+        return None
+    cap = max(128, -(-int(n_cmds.max()) // 128) * 128)
+    lcap = max(128, -(-int(n_lits.max()) // 128) * 128)
+    sym = np.zeros((nb, cap), np.uint8)
+    count = np.zeros((nb, cap), np.int32)
+    lit_len = np.zeros((nb, cap), np.int32)
+    lits = np.zeros((nb, lcap), np.uint8)
+    rc = L.ref_parse_planar(*args0, _ptr(sym), _ptr(count), _ptr(lit_len),
+                            _ptr(lits), _ptr(n_cmds), _ptr(n_lits),
+                            ctypes.c_int(cap), ctypes.c_int(lcap))
+    if rc != 0:
+        return None
+    block_len = np.full(nb, block_size, np.int32)
+    last = m - (nbp - 1) * block_size
+    block_len[nbp - 1::nbp] = last
+    return (sym, count, lit_len, lits, n_cmds, n_lits, block_len), nbp
