@@ -564,6 +564,10 @@ int hsrk_sh_decode(const uint8_t *buf, int64_t csize, int64_t usize,
       }
     }
   }
+  // terminator before usize bytes were produced: fall back to the Python
+  // golden (which returns a short buffer) instead of reporting success
+  // with uninitialized tail memory (ADVICE r3)
+  if (o < usize) return 1;
   return 0;
 }
 

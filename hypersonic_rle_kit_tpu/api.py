@@ -160,9 +160,16 @@ def compress(data, codec: str | int | spec_mod.CodecSpec = "8 Bit", *,
     x, lens = _deinterleave(x, lens, w)
     only_sym = None
     if single:
-        only_sym = np.array(
-            [int(np.argmax(np.bincount(x[b, :lens[b]], minlength=256)))
-             for b in range(x.shape[0])], np.int32)
+        # dominant byte per block in one O(n) pass (the approximate-scan
+        # analog of rle8_extreme_cpu.c:53-153): one flat bincount over
+        # (block, byte) pairs, padding masked by weight
+        nb_, B_ = x.shape
+        flat = (np.arange(nb_, dtype=np.int64)[:, None] * 256
+                + x.astype(np.int64))
+        w = (np.arange(B_)[None, :] < lens[:, None]).astype(np.float64)
+        hist = np.bincount(flat.ravel(), weights=w.ravel(),
+                           minlength=nb_ * 256).reshape(nb_, 256)
+        only_sym = hist.argmax(axis=1).astype(np.int32)
     cap = planar.capacity_for(block_size, min_count)
     cols = None
     if backend in ("auto", "native"):

@@ -110,3 +110,40 @@ def test_compress_distributed_roundtrip_host(mesh):
     data = _data(16, seed=17).reshape(-1).tobytes()
     blob = dist.compress_distributed(data, mesh, block_size=B)
     assert api.decompress(blob, backend="host") == data
+
+
+def test_sizes_only_exchange_bytes_on_wire():
+    """Scaling claims rest on communication accounting, not this box's
+    wall clock: the sharded pipeline's collectives must carry O(n_blocks)
+    size metadata, never O(stream) column data (VERDICT r3 #9).  Asserted
+    on the compiled HLO: every all-gather/all-reduce operand is a few
+    bytes per block."""
+    import re
+
+    import jax.numpy as jnp
+
+    from hypersonic_rle_kit_tpu.ops import planar
+    from hypersonic_rle_kit_tpu.parallel import dist
+
+    mesh = dist.make_mesh(min(4, len(jax.devices())))
+    nb, B = 8, 1024
+    cap = planar.capacity_for(B, 6)
+    x = jnp.zeros((nb, B), jnp.uint8)
+    ls = jnp.full(nb, B, jnp.int32)
+    lowered = dist.pipeline_step.lower(
+        x, ls, capacity=cap, min_count=6, mesh=mesh)
+    hlo = lowered.as_text()          # StableHLO: collectives still named
+    wire = 0
+    for m in re.finditer(
+            r'"stablehlo\.all_(?:gather|reduce)"[^:]*:[^)]*\)\s*->\s*'
+            r'tensor<([0-9x]*)x?([a-z0-9]+)>', hlo):
+        dims, dt = m.group(1), m.group(2)
+        elems = 1
+        for d in filter(None, dims.split("x")):
+            elems *= int(d)
+        size = {"i32": 4, "ui32": 4, "i64": 8, "f32": 4,
+                "i8": 1, "ui8": 1, "i1": 1}.get(dt, 4)
+        wire += elems * size
+    # sizes + offsets per block, replicated: within 16 bytes/block
+    assert wire <= 16 * nb, f"collectives move {wire} bytes for {nb} blocks"
+    assert wire > 0, "expected at least the size all-gather on the wire"
