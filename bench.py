@@ -330,6 +330,60 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
         except Exception as exc:
             log(f"secondary dataset {tag} failed: {exc!r}")
 
+    # --- wide-codec row: 64-bit packed, decode + on-device re-interleave
+    # (reference: 26.4 GB/s x86 on 48/64-bit Packed (Byte), README.md:49) ---
+    try:
+        wname = "64 Bit Packed (Byte)"
+        wblob = api.compress(data[: n], wname)   # auto backend (native)
+        results["ratio_w64"] = len(wblob) / n
+        t2 = None
+        pkw = container.pack_for_device(wblob)
+        if pkw is not None:
+            from hypersonic_rle_kit_tpu import api as api_mod
+            info_w = pkw["info"]
+            Bw = info_w.block_size
+            nbw = info_w.n_blocks
+            tlen = pkw["block_len"]
+            dw = {k: jax.device_put(jnp.asarray(pkw[k]))
+                  for k in unpack_device.SECTION_KEYS if k in pkw}
+
+            def dec_w():
+                yd = unpack_device.dispatch_packed(pkw, dw)
+                return jax.jit(
+                    lambda a: a.reshape(nbw, 8, Bw // 8)
+                    .swapaxes(1, 2).reshape(nbw, Bw))(yd)
+            yw = dec_w()
+            okw = np.array(yw).reshape(-1)[: n].tobytes() == data[: n].tobytes()
+            t2 = _timed_chain(dec_w, lambda r: np.asarray(r[0, :1]),
+                              max(3, iters // 2), 4, fetch)
+            results["decode_w64_gbps"] = n / t2 / 1e9 if okw else 0.0
+            log(f"[{wname}] ratio {100 * results['ratio_w64']:.1f}%  device "
+                f"decode+interleave {results['decode_w64_gbps']:.2f} GB/s "
+                f"roundtrip={okw}")
+    except Exception as exc:
+        log(f"wide codec row failed: {exc!r}")
+
+    # --- reference-stream ingest row: C-format blob -> planar columns via
+    # the native grammar walker (rleX_extreme_cpu_decode.h:27-164) ---
+    try:
+        from hypersonic_rle_kit_tpu.formats import rle8 as rle8_fmt
+        from hypersonic_rle_kit_tpu.ops import ref_device
+        rblob = rle8_fmt.rle8_compress(data[: min(n, 32 << 20)].tobytes())
+        rn = min(n, 32 << 20)
+        t0 = time.perf_counter()
+        res = native.ref_parse_planar(rblob, 0, 8, 0, 0, rn, 1 << 16)
+        tparse = time.perf_counter() - t0
+        if res is not None:
+            results["ref_ingest_gbps"] = rn / tparse / 1e9
+            out_r = ref_device.decompress_ref_device(rblob, "8 Bit")
+            okr = out_r == data[: rn].tobytes()
+            log(f"[ref-stream] native walk {results['ref_ingest_gbps']:.2f} "
+                f"GB/s of decoded size; device decode roundtrip={okr}")
+            if not okr:
+                results["ref_ingest_gbps"] = 0.0
+    except Exception as exc:
+        log(f"ref ingest row failed: {exc!r}")
+
     results["done"] = True
 
 
@@ -402,7 +456,8 @@ def main():
                   "decode_columns_gbps", "decode_e2e_gbps",
                   "encode_host_gbps", "ratio",
                   "ratio_random", "decode_random_gbps",
-                  "ratio_bwt", "decode_bwt_gbps")
+                  "ratio_bwt", "decode_bwt_gbps",
+                  "ratio_w64", "decode_w64_gbps", "ref_ingest_gbps")
     if results.get("done") and results.get("ok"):
         emit(results["gbps"],
              {k: results[k] for k in extra_keys if k in results})

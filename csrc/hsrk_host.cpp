@@ -345,6 +345,96 @@ inline void unpack_bits(const uint8_t *src, int64_t src_bytes, int64_t n,
 
 }  // namespace
 
+// Deep-layout variant (FLAG_DEEP, parallel/container.py): two-tier
+// escape-coded count/lit_len columns + 3-bit symbol-dictionary references.
+// Returns nonzero on any inconsistency (escape/overflow or miss-count
+// mismatch); the Python caller then falls back to the validating reader.
+int unpack_container_deep_batch(
+    const uint8_t *payload, const int64_t *payload_off,
+    const int32_t *n_cmds, const int32_t *n_lits,
+    const int32_t *cnt_bits, const int32_t *lit_bits,
+    const int32_t *cnt_ovf_bits, const int32_t *ll_ovf_bits,
+    const int32_t *n_cnt_ovf, const int32_t *n_ll_ovf, const int32_t *n_miss,
+    const uint8_t *dict7, int64_t hdr_size,
+    int64_t nb, int64_t cap, int64_t B, int32_t min_count,
+    uint8_t *sym, int32_t *count, int32_t *lit_len, uint8_t *lits) {
+  return parallel_blocks(nb, [&](int64_t b) -> int {
+    const int64_t nc = n_cmds[b], nl = n_lits[b];
+    const int64_t n_runs = nc - 1;
+    if (nc < 1 || nc > cap || nl < 0 || nl > B) return 1;
+    const int32_t cb = cnt_bits[b], lb = lit_bits[b];
+    const int32_t cob = cnt_ovf_bits[b], lob = ll_ovf_bits[b];
+    if (cb < 0 || cb > 32 || lb < 0 || lb > 32 || cob < 0 || cob > 32 ||
+        lob < 0 || lob > 32)
+      return 2;
+    const int64_t ncov = n_cnt_ovf[b], nlov = n_ll_ovf[b], nms = n_miss[b];
+    if (ncov < 0 || ncov > n_runs || nlov < 0 || nlov > nc || nms < 0 ||
+        nms > n_runs)
+      return 3;
+    const uint8_t *p = payload + payload_off[b] + hdr_size;
+    const int64_t cb_bytes = (cb * n_runs + 7) / 8;
+    const int64_t cov_bytes = (cob * ncov + 7) / 8;
+    const int64_t lb_bytes = (lb * nc + 7) / 8;
+    const int64_t lov_bytes = (lob * nlov + 7) / 8;
+    const int64_t lut_bytes = (3 * n_runs + 7) / 8;
+
+    int32_t *cnt_dst = count + b * cap;
+    unpack_bits(p, cb_bytes, n_runs, cb, cnt_dst, 0);
+    std::vector<int32_t> ovf((size_t)std::max<int64_t>(ncov, 1));
+    unpack_bits(p + cb_bytes, cov_bytes, ncov, cob, ovf.data(), 0);
+    const int32_t cesc = cb ? (int32_t)((1u << cb) - 1) : -1;
+    int64_t r = 0;
+    for (int64_t i = 0; i < n_runs; i++) {
+      if (cnt_dst[i] == cesc) {
+        if (r >= ncov) return 4;
+        cnt_dst[i] = ovf[(size_t)r++];
+      }
+      cnt_dst[i] += min_count;
+    }
+    if (r != ncov) return 4;
+    std::memset(cnt_dst + n_runs, 0, (size_t)(cap - n_runs) * sizeof(int32_t));
+
+    int32_t *ll_dst = lit_len + b * cap;
+    const uint8_t *pl = p + cb_bytes + cov_bytes;
+    unpack_bits(pl, lb_bytes, nc, lb, ll_dst, 0);
+    std::vector<int32_t> lovf((size_t)std::max<int64_t>(nlov, 1));
+    unpack_bits(pl + lb_bytes, lov_bytes, nlov, lob, lovf.data(), 0);
+    const int32_t lesc = lb ? (int32_t)((1u << lb) - 1) : -1;
+    r = 0;
+    for (int64_t i = 0; i < nc; i++) {
+      if (ll_dst[i] == lesc) {
+        if (r >= nlov) return 5;
+        ll_dst[i] = lovf[(size_t)r++];
+      }
+    }
+    if (r != nlov) return 5;
+    std::memset(ll_dst + nc, 0, (size_t)(cap - nc) * sizeof(int32_t));
+
+    const uint8_t *ps = pl + lb_bytes + lov_bytes;
+    std::vector<int32_t> lut((size_t)std::max<int64_t>(n_runs, 1));
+    unpack_bits(ps, lut_bytes, n_runs, 3, lut.data(), 0);
+    const uint8_t *miss = ps + lut_bytes;
+    const uint8_t *d7 = dict7 + b * 7;
+    uint8_t *sym_dst = sym + b * cap;
+    std::memset(sym_dst, 0, (size_t)cap);
+    int64_t m = 0;
+    for (int64_t i = 0; i < n_runs; i++) {
+      const int32_t idx = lut[(size_t)i];
+      if (idx == 0) {
+        if (m >= nms) return 6;
+        sym_dst[i] = miss[m++];
+      } else {
+        sym_dst[i] = d7[idx - 1];
+      }
+    }
+    if (m != nms) return 6;
+
+    std::memset(lits + b * B, 0, (size_t)B);
+    std::memcpy(lits + b * B, miss + nms, (size_t)nl);
+    return 0;
+  });
+}
+
 int unpack_container_batch(
     const uint8_t *payload, const int64_t *payload_off,
     const int32_t *n_cmds, const int32_t *n_lits,

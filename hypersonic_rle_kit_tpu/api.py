@@ -157,7 +157,20 @@ def compress(data, codec: str | int | spec_mod.CodecSpec = "8 Bit", *,
             np.zeros((0, 1), np.int32), np.zeros((0, block_size), np.uint8),
             np.zeros(0, np.int32), np.zeros(0, np.int32))
     x, lens = _to_blocks(arr, block_size)
-    x, lens = _deinterleave(x, lens, w)
+    if w > 1 and backend in ("kernel", "device"):
+        # width de-interleave on-device for the accelerator encoders (one
+        # transpose per block); partial tail blocks are fixed up host-side
+        nb_, B_ = x.shape
+        xd = jax.jit(lambda a: a.reshape(nb_, B_ // w, w)
+                     .swapaxes(1, 2).reshape(nb_, B_))(jnp.asarray(x))
+        tl = (-(-lens.astype(np.int64) // w) * w).astype(np.int32)
+        for b in np.flatnonzero(lens != B_):
+            row, tb = _deinterleave_block(x[b], int(lens[b]), w)
+            tl[b] = tb
+            xd = xd.at[b].set(jnp.asarray(row))
+        x, lens = xd, tl
+    else:
+        x, lens = _deinterleave(x, lens, w)
     only_sym = None
     if single:
         # dominant byte per block in one O(n) pass (the approximate-scan
@@ -227,6 +240,7 @@ def decompress(buf, *, backend: str = "auto") -> bytes:
         tlen = (-(-orig_len.astype(np.int64) // w) * w).astype(np.int32)
 
     y = None
+    interleaved = False
     if backend == "kernel":
         from .ops import decode_sup, unpack_device
         interp = jax.default_backend() != "tpu"
@@ -237,7 +251,27 @@ def decompress(buf, *, backend: str = "auto") -> bytes:
             pk = container.pack_for_device(buf, parsed=(info, blocks))
             if pk is not None:
                 pk["block_len"] = tlen
-                y = unpack_device.decode_packed(pk, interpret=interp)
+                arrs = {k: jnp.asarray(pk[k])
+                        for k in unpack_device.SECTION_KEYS if k in pk}
+                yd = unpack_device.dispatch_packed(pk, arrs,
+                                                   interpret=interp)
+                if w > 1:
+                    # width re-interleave on-device: one transpose per
+                    # block (rle24_extreme_cpu_decode.h:30-55's staggered
+                    # broadcasts, done once in HBM); only partial tail
+                    # blocks fall back to the host fix-up below
+                    nb_, B_ = yd.shape
+                    yi = jax.jit(
+                        lambda a: a.reshape(nb_, w, B_ // w)
+                        .swapaxes(1, 2).reshape(nb_, B_))(yd)
+                    y = np.array(yi)        # writable host copy
+                    for b in np.flatnonzero(orig_len != B_):
+                        n = int(orig_len[b])
+                        y[b, :n] = _interleave_block(
+                            np.asarray(yd[b]), n, w)
+                    interleaved = True
+                else:
+                    y = np.asarray(yd)
         backend = "done" if y is not None else "device"  # XLA fallback
 
     info, planar_cols = (info, None) if y is not None else \
@@ -262,7 +296,7 @@ def decompress(buf, *, backend: str = "auto") -> bytes:
             for b in range(info.n_blocks)])
     else:
         raise ValueError(f"unknown backend {backend!r}")
-    if w > 1:
+    if w > 1 and not interleaved:
         nb, B = y.shape
         yi = np.ascontiguousarray(
             y.reshape(nb, w, B // w).swapaxes(1, 2).reshape(nb, B))

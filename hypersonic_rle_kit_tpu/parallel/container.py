@@ -435,6 +435,24 @@ def deserialize_to_planar(buf: bytes, capacity: int | None = None):
     block_len = np.full(nb, B, np.int32)
     if nb:
         block_len[-1] = info.uncompressed_size - (nb - 1) * B
+    if nb and info.deep:
+        from ..utils import native
+        cols = native.unpack_container_deep(
+            np.frombuffer(buf, np.uint8),
+            np.array([bl["payload_off"] for bl in blocks], np.int64),
+            n_cmds, n_lits,
+            np.array([bl["cnt_bits"] for bl in blocks], np.int32),
+            np.array([bl["lit_bits"] for bl in blocks], np.int32),
+            np.array([bl["cnt_ovf_bits"] for bl in blocks], np.int32),
+            np.array([bl["ll_ovf_bits"] for bl in blocks], np.int32),
+            np.array([bl["n_cnt_ovf"] for bl in blocks], np.int32),
+            np.array([bl["n_ll_ovf"] for bl in blocks], np.int32),
+            np.array([bl["n_miss"] for bl in blocks], np.int32),
+            np.stack([np.frombuffer(bl["dict7"], np.uint8)
+                      for bl in blocks]),
+            _DEEP.size, capacity, B, info.min_count)
+        if cols is not None:
+            return info, (*cols, n_cmds, n_lits, block_len)
     if nb and not info.deep:
         from ..utils import native
         cols = native.unpack_container(

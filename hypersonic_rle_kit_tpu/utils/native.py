@@ -69,6 +69,7 @@ def lib():
     L.hsrk_le_decode.restype = ctypes.c_int
     L.hsrk_sh_decode.restype = ctypes.c_int
     L.ref_parse_planar.restype = ctypes.c_int
+    L.unpack_container_deep_batch.restype = ctypes.c_int
     _lib = L
     return _lib
 
@@ -283,3 +284,35 @@ def ref_parse_planar(buf: bytes, family: int, width: int, flags: int,
     last = m - (nbp - 1) * block_size
     block_len[nbp - 1::nbp] = last
     return (sym, count, lit_len, lits, n_cmds, n_lits, block_len), nbp
+
+
+def unpack_container_deep(payload: np.ndarray, payload_off, n_cmds, n_lits,
+                          cnt_bits, lit_bits, cnt_ovf_bits, ll_ovf_bits,
+                          n_cnt_ovf, n_ll_ovf, n_miss, dict7,
+                          hdr_size: int, capacity: int, B: int,
+                          min_count: int):
+    """Native deep-layout container unpack (csrc); None if unavailable or
+    the native resolver flags an inconsistency (caller falls back to the
+    validating Python reader)."""
+    L = lib()
+    if L is None:
+        return None
+    nb = len(n_cmds)
+    sym = np.empty((nb, capacity), np.uint8)
+    count = np.empty((nb, capacity), np.int32)
+    lit_len = np.empty((nb, capacity), np.int32)
+    lits = np.empty((nb, B), np.uint8)
+    i32 = lambda a: np.ascontiguousarray(a, np.int32)
+    rc = L.unpack_container_deep_batch(
+        _ptr(payload), _ptr(np.ascontiguousarray(payload_off, np.int64)),
+        _ptr(i32(n_cmds)), _ptr(i32(n_lits)), _ptr(i32(cnt_bits)),
+        _ptr(i32(lit_bits)), _ptr(i32(cnt_ovf_bits)), _ptr(i32(ll_ovf_bits)),
+        _ptr(i32(n_cnt_ovf)), _ptr(i32(n_ll_ovf)), _ptr(i32(n_miss)),
+        _ptr(np.ascontiguousarray(dict7, np.uint8)),
+        ctypes.c_int64(hdr_size), ctypes.c_int64(nb),
+        ctypes.c_int64(capacity), ctypes.c_int64(B),
+        ctypes.c_int32(min_count),
+        _ptr(sym), _ptr(count), _ptr(lit_len), _ptr(lits))
+    if rc != 0:
+        return None
+    return sym, count, lit_len, lits
