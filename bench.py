@@ -233,7 +233,7 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
 
     # --- secondary: pre-unpacked columns (HBM) -> bytes (HBM) ---
     used = int(n_cmds.max())
-    cap_used = max(128, 1 << (used - 1).bit_length())
+    cap_used = max(128, -(-used // 128) * 128)
     dev = [jax.device_put(jnp.asarray(v)) for v in
            (sym[:, :cap_used], count[:, :cap_used], lit_len[:, :cap_used],
             lits, n_cmds, n_lits, block_len)]
@@ -309,7 +309,7 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
             results[f"ratio_{tag}"] = len(blob2) / (nb2 * block)
             _, pc = container.deserialize_to_planar(blob2)
             used2 = int(pc[4].max())
-            cu2 = max(128, 1 << (used2 - 1).bit_length())
+            cu2 = max(128, -(-used2 // 128) * 128)
             d3 = [jax.device_put(jnp.asarray(v)) for v in
                   (pc[0][:, :cu2], pc[1][:, :cu2], pc[2][:, :cu2],
                    pc[3], pc[4], pc[5], pc[6])]

@@ -35,7 +35,7 @@ def main():
     blob = container.serialize_blocks(0, n, block, 6, *cols)
     info, pc = container.deserialize_to_planar(blob)
     used = int(pc[4].max())
-    cap_used = max(128, 1 << (used - 1).bit_length())
+    cap_used = max(128, -(-used // 128) * 128)
     dev = [jax.device_put(jnp.asarray(v)) for v in
            (pc[0][:, :cap_used], pc[1][:, :cap_used], pc[2][:, :cap_used],
             pc[3], pc[4], pc[5], pc[6])]
