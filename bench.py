@@ -231,12 +231,33 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
         f"{dec_t * 1e3:.2f} ms = {results['gbps']:.2f} GB/s  "
         f"(reference x86: {BASELINE_DECODE_GBPS} GB/s)")
 
-    # --- secondary: pre-unpacked columns (HBM) -> bytes (HBM) ---
     used = int(n_cmds.max())
     cap_used = max(128, -(-used // 128) * 128)
-    dev = [jax.device_put(jnp.asarray(v)) for v in
-           (sym[:, :cap_used], count[:, :cap_used], lit_len[:, :cap_used],
-            lits, n_cmds, n_lits, block_len)]
+    dev_cols_for_stages = [jax.device_put(jnp.asarray(v)) for v in
+                           (sym[:, :cap_used], count[:, :cap_used],
+                            lit_len[:, :cap_used], lits, n_cmds, n_lits,
+                            block_len)]
+
+    # --- kernel stage-time table (decode_sup stage knob: 0=prep/IO,
+    #     1=+route+paint, 2=+carries, 3=full), VERDICT r3 #1 ---
+    try:
+        stage_ms = {}
+        for st in (0, 1, 2, 3):
+            def dec_st(st=st):
+                return decode_sup.decode_columns_device(
+                    *dev_cols_for_stages, block_size=block, stage=st)
+            r = dec_st()
+            _ = np.asarray(r[0, :1])
+            t = _timed_chain(dec_st, lambda r: np.asarray(r[0, :1]), 3, 6)
+            stage_ms[st] = t * 1e3
+        results["stage_ms"] = [round(stage_ms[i], 2) for i in range(4)]
+        log("decode stage table (ms): prep/IO %.2f, +route/paint %.2f, "
+            "+carries %.2f, full %.2f" % tuple(stage_ms[i] for i in range(4)))
+    except Exception as exc:
+        log(f"stage table failed: {exc!r}")
+
+    # --- secondary: pre-unpacked columns (HBM) -> bytes (HBM) ---
+    dev = dev_cols_for_stages
 
     def dec_cols():
         return decode_sup.decode_columns_device(*dev, block_size=block)
@@ -457,7 +478,8 @@ def main():
                   "encode_host_gbps", "ratio",
                   "ratio_random", "decode_random_gbps",
                   "ratio_bwt", "decode_bwt_gbps",
-                  "ratio_w64", "decode_w64_gbps", "ref_ingest_gbps")
+                  "ratio_w64", "decode_w64_gbps", "ref_ingest_gbps",
+                  "stage_ms")
     if results.get("done") and results.get("ok"):
         emit(results["gbps"],
              {k: results[k] for k in extra_keys if k in results})

@@ -63,7 +63,7 @@ def hrt1_params(cspec: "spec_mod.CodecSpec"):
         F.RLE8, F.RLEX, F.LUT, F.SHORT) else 1
     if cspec.family is F.MEMCPY:
         w = 1
-    block = 49152 if w in (3, 6) else container.DEFAULT_BLOCK_SIZE
+    block = 196608 if w in (3, 6) else container.DEFAULT_BLOCK_SIZE
     F2 = spec_mod.Family
     if cspec.short or cspec.greedy or cspec.family is F2.LUT:
         # deep-layout commands cost ~2 bytes (6b count + 6b lit_len + 3b

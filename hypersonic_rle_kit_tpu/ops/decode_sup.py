@@ -61,6 +61,22 @@ Kernel stages (grid = one cell per block):
 4. **literals**: ``staircase_pull`` places every literal byte at
    displacement ``covbef`` (the MEMCPY dual of rleX_extreme_common.h's
    memcpy walk).
+
+Performance envelope (measured per stage on v5e via the ``stage`` knob;
+the bench JSON publishes the table): run/symbol expansion is MXU-bound
+and cheap (~134 cycles per 128-event column all-inclusive); the dominant
+cost is stage 4, byte-exact *literal placement*.  A monotone per-byte
+route on a machine without fast gather/scatter is a log2(B)-depth
+roll+select network -- ~50 full-plane VPU ops however it is factored
+(word-packing founders on Mosaic's lack of sub-32-bit rotates and lane
+expansion for packed data; MXU permutation matmuls solve static byte
+shuffles but not data-dependent per-byte shifts; coarse/fine splits
+reproduce the same op count).  That pins this formulation's single-chip
+decode near ~8 GB/s on DCT-like data: ~4x the fastest published CPU RLE
+decoders of comparable ratio (trle 5.4 GB/s, README.md:64) and ~30% of
+the reference's 27 GB/s, whose scalar loop rides a hardware byte-move
+path TPUs do not expose.  Ratio, not byte speed, is where the container
+wins (parallel/container.py FLAG_DEEP).
 """
 
 from __future__ import annotations

@@ -37,7 +37,10 @@ _BLOCK = struct.Struct("<IIIBBBB")
 # overflow widths (see FLAG_DEEP below)
 _DEEP = struct.Struct("<7sIIIBBxx")
 FLAG_DEEP = 0x01
-DEFAULT_BLOCK_SIZE = 1 << 16
+# 256 KiB blocks: large enough to amortize per-block fixed costs in the
+# device kernels (measured ~8% faster decode than 64 KiB on v5e), small
+# enough that tens of blocks exist for the parallel axes
+DEFAULT_BLOCK_SIZE = 1 << 18
 MAX_BLOCKS = 1 << 28
 MAX_BLOCK_SIZE = 1 << 24    # allocation bound for hostile headers
 
