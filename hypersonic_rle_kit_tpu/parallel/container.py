@@ -182,6 +182,36 @@ def serialize_blocks(codec_index: int, uncompressed_size: int, block_size: int,
     return deep_blob if len(deep_blob) < len(flat) else flat
 
 
+def two_tier_stats(pooled: np.ndarray):
+    """Summable statistics for the two-tier width chooser:
+    ``(n, vmax, ge)`` where ``ge[w]`` counts values >= 2**w - 1.  Multiple
+    hosts sum their stats (and max their maxima) to choose identical
+    container-uniform widths without pooling values across the wire
+    (parallel/dist.serialize_local_blocks)."""
+    v = pooled.astype(np.int64)
+    n = int(v.size)
+    vmax = int(v.max()) if n else 0
+    ge = np.array([(v >= (np.int64(1) << w) - 1).sum()
+                   for w in range(33)], np.int64)
+    return n, vmax, ge
+
+
+def widths_from_stats(n: int, vmax: int, ge) -> tuple[int, int]:
+    """Deterministic width choice from summed :func:`two_tier_stats`."""
+    if n == 0:
+        return 0, 0
+    ovf_bits = _width_for(vmax)
+    best, bw = None, ovf_bits
+    for w in range(ovf_bits + 1):
+        nge = int(ge[w])
+        if w == 0 and nge:
+            continue                    # no escape code exists at width 0
+        cost = n * w + nge * ovf_bits
+        if best is None or cost < best:
+            best, bw = cost, w
+    return bw, ovf_bits
+
+
 def _two_tier_widths(pooled: np.ndarray) -> tuple[int, int]:
     """Pick the uniform narrow width minimizing the total size of a
     two-tier column (base values with an all-ones escape into a full-width
@@ -191,21 +221,7 @@ def _two_tier_widths(pooled: np.ndarray) -> tuple[int, int]:
     (count/range u16/u32 escapes, rleX_Xsl_short.h:296-319): the escape
     statistics are decided once per container so the device can unpack
     both tiers with static shapes."""
-    if pooled.size == 0:
-        return 0, 0
-    v = np.sort(pooled.astype(np.int64))
-    n = v.size
-    ovf_bits = _width_for(int(v[-1]))
-    best, bw = None, ovf_bits
-    for w in range(ovf_bits + 1):
-        esc = (1 << w) - 1
-        nge = int(n - np.searchsorted(v, esc))
-        if w == 0 and nge:
-            continue                    # no escape code exists at width 0
-        cost = n * w + nge * ovf_bits
-        if best is None or cost < best:
-            best, bw = cost, w
-    return bw, ovf_bits
+    return widths_from_stats(*two_tier_stats(pooled))
 
 
 def _block_dict(sym_runs: np.ndarray) -> bytes:

@@ -114,29 +114,83 @@ def encode_sharded(x, block_len, *, capacity: int, min_count: int, mesh: Mesh):
     )(x, block_len)
 
 
-def serialize_local_blocks(pb, min_count: int = 6) -> dict[int, tuple]:
+def serialize_local_blocks(pb, min_count: int = 6,
+                           deep: bool | str = "auto"
+                           ) -> tuple[dict[int, tuple], int]:
     """Serialize only the blocks addressable on this process.
 
-    Returns ``{block_index: (table_entry, payload_bytes)}`` — each host
-    ships its parts plus indices out of band (files, an object store, DCN),
-    and :func:`hypersonic_rle_kit_tpu.parallel.container.assemble` stitches
-    them in block order.  This is the multi-host serialization path: column
-    data never crosses hosts through the mesh.
+    Returns ``({block_index: (table_entry, payload_bytes)}, flags)`` —
+    each host ships its parts plus indices out of band (files, an object
+    store, DCN), and :func:`container.assemble` (given the same ``flags``)
+    stitches them in block order.  Column data never crosses hosts through
+    the mesh; what *does* cross is one tiny collective of summable width
+    statistics (``container.two_tier_stats``, ~70 ints per host) so every
+    host picks the identical container-uniform bit widths and deep/flat
+    decision — the assembled bytes equal the single-process
+    ``api.compress`` serialization exactly.
     """
     import numpy as np
     from . import container
 
     cols = (pb.sym, pb.count, pb.lit_len, pb.lits, pb.n_cmds, pb.n_lits)
     shard_sets = [c.addressable_shards for c in cols]
-    parts: dict[int, tuple] = {}
+    local = []                          # (block_index, per-block arrays)
     for shards in zip(*shard_sets):
         b0 = shards[0].index[0].start or 0
         arrs = [np.asarray(s.data) for s in shards]
         for j in range(arrs[0].shape[0]):
-            parts[b0 + j] = container.block_payload(
-                arrs[0][j], arrs[1][j], arrs[2][j], arrs[3][j],
-                int(arrs[4][j]), int(arrs[5][j]), min_count)
-    return parts
+            local.append((b0 + j, tuple(a[j] for a in arrs[:4]),
+                          int(arrs[4][j]), int(arrs[5][j])))
+
+    # local width statistics, summed across hosts (the only communication)
+    pooled_c = np.concatenate(
+        [blk[1][1][:max(nc - 1, 0)].astype(np.int64) - min_count
+         for blk, nc in ((b, b[2]) for b in local)] or [np.zeros(0, np.int64)])
+    pooled_l = np.concatenate(
+        [blk[1][2][:nc].astype(np.int64)
+         for blk, nc in ((b, b[2]) for b in local)] or [np.zeros(0, np.int64)])
+    cn, cmax, cge = container.two_tier_stats(pooled_c)
+    ln, lmax, lge = container.two_tier_stats(pooled_l)
+    stats = np.concatenate([[cn, cmax], cge, [ln, lmax], lge]).astype(np.int64)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        allstats = np.asarray(multihost_utils.process_allgather(stats))
+        summed = allstats.sum(axis=0)
+        # maxima must combine as max, not sum
+        summed[1] = allstats[:, 1].max()
+        summed[36] = allstats[:, 36].max()
+        stats = summed
+    cn, cmax, cge = int(stats[0]), int(stats[1]), stats[2:35]
+    ln, lmax, lge = int(stats[35]), int(stats[36]), stats[37:70]
+    widths = (container.widths_from_stats(cn, cmax, cge)
+              + container.widths_from_stats(ln, lmax, lge))
+    flat_cb = container._width_for(cmax)
+    flat_lb = container._width_for(lmax)
+
+    flat_parts, deep_parts = {}, {}
+    flat_sz = deep_sz = 0
+    for b, (sym_b, cnt_b, ll_b, lits_b), nc, nl in local:
+        fp = container.block_payload(sym_b, cnt_b, ll_b, lits_b, nc, nl,
+                                     min_count, flat_cb, flat_lb)
+        flat_parts[b] = fp
+        flat_sz += len(fp[1])
+        if deep:
+            dp = container.block_payload_deep(sym_b, cnt_b, ll_b, lits_b,
+                                              nc, nl, min_count, widths)
+            deep_parts[b] = dp
+            deep_sz += len(dp[1])
+    if deep:
+        sizes = np.array([flat_sz, deep_sz], np.int64)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            sizes = np.asarray(
+                multihost_utils.process_allgather(sizes)).sum(axis=0)
+        use_deep = deep is True or int(sizes[1]) < int(sizes[0])
+    else:
+        use_deep = False
+    if use_deep:
+        return deep_parts, container.FLAG_DEEP
+    return flat_parts, 0
 
 
 def compress_distributed(data, mesh: Mesh, *,

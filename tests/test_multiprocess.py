@@ -56,13 +56,13 @@ gl = jax.make_array_from_process_local_data(
 cap = planar.capacity_for(B, 6)
 pb, sizes, offsets = dist.encode_sharded(gx, gl, capacity=cap, min_count=6,
                                          mesh=mesh)
-parts = dist.serialize_local_blocks(pb, min_count=6)
-sizes = np.asarray(sizes)
-for b, (entry, payload) in parts.items():
-    assert len(payload) == sizes[b], (b, len(payload), sizes[b])
+parts, flags = dist.serialize_local_blocks(pb, min_count=6)
+# (the in-mesh sizes exchange models the flat per-block layout; the
+# serializer's global width/deep choice may pack tighter, so sizes are an
+# upper-bound shipping plan, not asserted equal)
 with open(os.path.join(outdir, f"part{pid}.pkl"), "wb") as f:
-    pickle.dump(parts, f)
-print("WORKER_OK", pid, len(parts), flush=True)
+    pickle.dump({"parts": parts, "flags": flags}, f)
+print("WORKER_OK", pid, len(parts), "flags", flags, flush=True)
 """
 
 
@@ -99,12 +99,19 @@ def test_two_process_cpu_mesh(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0 and f"WORKER_OK {i}" in out, out[-2000:]
 
-    # ordered assembly from both hosts' parts == single-process container
+    # ordered assembly from both hosts' parts == single-process container:
+    # the tiny width-stats collective makes every host pick identical
+    # container-uniform widths and the same deep/flat layout, so the
+    # assembled bytes match api.compress exactly
     parts: dict[int, tuple] = {}
+    flags = set()
     for i in range(2):
         with open(tmp_path / f"part{i}.pkl", "rb") as f:
-            parts.update(pickle.load(f))
+            got = pickle.load(f)
+        parts.update(got["parts"])
+        flags.add(got["flags"])
     assert sorted(parts) == list(range(NB))
+    assert len(flags) == 1, flags
 
     from hypersonic_rle_kit_tpu import api
     from hypersonic_rle_kit_tpu.parallel import container
@@ -112,19 +119,7 @@ def test_two_process_cpu_mesh(tmp_path):
     x = rng.integers(0, 5, (NB, B), dtype=np.uint8)
     x[:, ::3] = 0
     payload = x.reshape(-1).tobytes()
-    blob = container.assemble(0, NB * B, B, [parts[b] for b in range(NB)])
-    # per-host parts serialize flat with per-block widths (no global
-    # statistics crossed the wire); compare against the single-process
-    # serialization with the same settings, and against decoded bytes
-    from hypersonic_rle_kit_tpu.ops import device as dev_ops, planar
-    lens = np.full(NB, B, np.int32)
-    pb = dev_ops.encode_blocks(x, lens,
-                               capacity=planar.capacity_for(B, 6),
-                               min_count=6)
-    ref_blob = container.serialize_blocks(
-        0, NB * B, B, 6, *[np.asarray(v) for v in
-                           (pb.sym, pb.count, pb.lit_len, pb.lits,
-                            pb.n_cmds, pb.n_lits)],
-        uniform_bits=False, deep=False)
-    assert blob == ref_blob
+    blob = container.assemble(0, NB * B, B, [parts[b] for b in range(NB)],
+                              flags=flags.pop())
+    assert blob == api.compress(payload, block_size=B, backend="device")
     assert api.decompress(blob, backend="device") == payload
