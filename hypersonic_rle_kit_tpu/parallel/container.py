@@ -308,7 +308,8 @@ def pack_for_device(buf: bytes, parsed=None):
     lit_bits = blocks[0]["lit_bits"]
     cap = max(bl["n_cmds"] for bl in blocks)
     cap = (cap + 127) // 128 * 128
-    pad128 = lambda n: (n + 127) // 128 * 128
+    # +4 bytes: the device unpack reads 32-bit windows (unpack_device)
+    pad128 = lambda n: (n + 4 + 127) // 128 * 128
     CS = pad128(max((cnt_bits * cap + 7) // 8, 1))
     LS = pad128(max((lit_bits * cap + 7) // 8, 1))
     B = info.block_size
