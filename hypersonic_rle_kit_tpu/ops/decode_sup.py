@@ -169,8 +169,12 @@ def _decode_body(code_ref, blen_ref, ev_ref, dp_ref, lits_ref,
 
     accvs = (accv_ref, accv2_ref)
     accws = (accw_ref, accw2_ref)
+    # bf16 accumulators: every per-cell partial sum is an integer within
+    # +-256 (open/close pairs of adjacent runs bound the net), so bf16 is
+    # exact and the zero-fill + read-modify-write traffic halves (the
+    # f32 zero-fill alone was most of the fixed per-block cost at R=2048)
     for a in accvs + accws:
-        a[...] = jnp.zeros((R, ROW), jnp.float32)
+        a[...] = jnp.zeros((R, ROW), jnp.bfloat16)
     if stage == 0:                     # profiling: prep + launch + IO only
         out_ref[0] = jnp.full((R, ROW), blen & 0xFF, jnp.uint8)
         return
@@ -204,9 +208,11 @@ def _decode_body(code_ref, blen_ref, ev_ref, dp_ref, lits_ref,
         bw = lm * w_cbf
         rowm = (row_c - r0 == rows_iota).astype(jnp.bfloat16)
         mmv = jax.lax.dot_general(rowm, bv, dimension_numbers=dn,
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32
+                                  ).astype(jnp.bfloat16)
         mmw = jax.lax.dot_general(rowm, bw, dimension_numbers=dn,
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32
+                                  ).astype(jnp.bfloat16)
         if R <= STRIPE:
             accv[...] += mmv
             accw[...] += mmw
@@ -214,8 +220,8 @@ def _decode_body(code_ref, blen_ref, ev_ref, dp_ref, lits_ref,
             accv[pl.ds(r0, Wr), :] += mmv
             accw[pl.ds(r0, Wr), :] += mmw
 
-    painted_v = (accv_ref[...] + accv2_ref[...]).astype(jnp.bfloat16)
-    painted_w = (accw_ref[...] + accw2_ref[...]).astype(jnp.bfloat16)
+    painted_v = accv_ref[...] + accv2_ref[...]
+    painted_w = accw_ref[...] + accw2_ref[...]
     # in-row step/ramp expansion: one [128, 128] constant contraction each
     mdn = (((1,), (0,)), ((), ()))
     step = jax.lax.dot_general(
@@ -352,7 +358,7 @@ def _decode_jit(sym, count, lit_len, lits, n_cmds, n_lits, block_len, *,
             pl.BlockSpec((1, R, ROW), lambda b, *_: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, R, ROW), lambda b, *_: (b, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((R, ROW), jnp.float32)] * 4,
+        scratch_shapes=[pltpu.VMEM((R, ROW), jnp.bfloat16)] * 4,
     )
     out = pl.pallas_call(
         kernel,

