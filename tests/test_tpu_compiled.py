@@ -75,3 +75,32 @@ def test_profiler_trace_written(tmp_path):
         np.asarray(out)
     traces = list(tmp_path.rglob("*.xplane.pb"))
     assert traces, "no profiler trace written"
+
+
+def test_deep_payload_compiled_roundtrip():
+    """The full O(compressed) device pipeline compiled on-chip: deep
+    container -> section pack -> on-device bit unpack + escape/dictionary
+    resolution (Pallas resolver) -> decode kernel."""
+    from hypersonic_rle_kit_tpu import api
+    from hypersonic_rle_kit_tpu.parallel import container
+
+    rng = np.random.default_rng(11)
+    d = rng.integers(-4, 5, 300_000).astype(np.int8).astype(np.uint8)
+    d[rng.random(300_000) < 0.8] = 0
+    payload = d.tobytes()
+    blob = api.compress(payload, "8 Bit")
+    assert container.parse(blob)[0].deep
+    assert api.decompress(blob, backend="kernel") == payload
+
+
+def test_wide_codec_compiled_roundtrip():
+    """Width transform on-device, compiled: 32-bit codec through the
+    kernel backend."""
+    from hypersonic_rle_kit_tpu import api
+
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 5, (40_000, 4), dtype=np.uint8)
+    px[rng.random(40_000) < 0.7] = [9, 8, 7, 6]
+    payload = px.reshape(-1).tobytes()[:159_995]
+    blob = api.compress(payload, "32 Bit (Symbol)", backend="kernel")
+    assert api.decompress(blob, backend="kernel") == payload
