@@ -8,18 +8,31 @@ a columnar, bit-packed block format designed for massively parallel decode:
              uncompressed u64 | block_size u32 | n_blocks u32
     table:   per block {payload_bytes u32, n_cmds u32, n_lits u32,
                         cnt_bits u8, lit_bits u8, min_count u8, pad u8}
-    payload: per block, concatenated:
+    payload (flat layout, flags=0), per block:
              bitpacked (count - min_count) for the n_cmds-1 run commands,
              bitpacked lit_len            for all n_cmds commands,
              run symbols (1 byte each, n_cmds-1),
              literal bytes (n_lits)
+    payload (deep layout, flags=FLAG_DEEP), per block:
+             sub-header {dict 7 bytes, n_cnt_ovf u32, n_ll_ovf u32,
+                         n_miss u32, cnt_ovf_bits u8, ll_ovf_bits u8},
+             two-tier count column  (narrow base, all-ones escape ->
+                                     full-width overflow list),
+             two-tier lit_len column,
+             3-bit symbol references (0 = miss, k = dictionary entry k-1),
+             symbol misses, literal bytes
 
 Compared with the reference's interleaved varint grammar
 ([symbol][count][range][literals], rle8_extreme_cpu.h:768-931) the columns
 decode with zero sequential dependencies: every field of every command sits at
 an offset computable from the table alone, so a TPU grid can unpack blocks
-with pure vector shifts and prefix sums.  Bit-widths adapt per block, which on
-run-heavy data packs commands tighter than the reference's fixed byte grammar.
+with pure vector shifts and prefix sums.  The deep layout carries the
+reference's compression-depth techniques in parallel form: the per-block
+top-7 symbol dictionary replaces the serial MTF LUT (rleX_Xsl.h:279-287) and
+Packed same-symbol elision (rle8_extreme_cpu.h:832-853); the two-tier escape
+columns replace per-command varint escapes (rleX_Xsl_short.h:296-319), with
+container-uniform widths so device unpack is static-shape (uniform widths
+also hold in the flat layout; see serialize_blocks).
 """
 
 from __future__ import annotations
