@@ -129,20 +129,28 @@ def host_fallback_gbps(data: np.ndarray, block: int = 1 << 16) -> float:
 def _timed_chain(dispatch, sync, iters, chain, fetch=None):
     """Paired-chain differencing: the tunnel's fetch/sync overhead varies
     too much (25-260 ms observed) to calibrate out as a constant; timing a
-    short and a long dispatch chain back-to-back cancels it exactly."""
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        for _ in range(2):
-            r = dispatch()
-        sync(r)
-        t1 = time.perf_counter()
-        for _ in range(chain + 2):
-            r = dispatch()
-        sync(r)
-        t2 = time.perf_counter()
-        times.append(((t2 - t1) - (t1 - t0)) / chain)
-    return float(np.median(times))
+    short and a long dispatch chain back-to-back cancels it exactly.
+    When the op is faster than the noise floor (sub-ms medians can even
+    come out negative), the chain is lengthened and remeasured."""
+    def run(ch):
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            for _ in range(2):
+                r = dispatch()
+            sync(r)
+            t1 = time.perf_counter()
+            for _ in range(ch + 2):
+                r = dispatch()
+            sync(r)
+            t2 = time.perf_counter()
+            times.append(((t2 - t1) - (t1 - t0)) / ch)
+        return float(np.median(times))
+
+    t = run(chain)
+    if t < 1e-3:
+        t = run(chain * 10)
+    return max(t, 1e-6)
 
 
 def device_bench(data: np.ndarray, block: int, iters: int, results: dict):

@@ -150,15 +150,48 @@ def _row_scan_1xr(vec, R, roll):
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _decode_body(code_ref, blen_ref, ev_ref, dp_ref, lits_ref,
+def _decode_body(code_ref, meta_ref, ev_ref, dp_ref, lits_ref,
                  out_ref, accv_ref, accv2_ref, accw_ref, accw2_ref,
                  *, NC: int, R: int, interpret: bool, stage: int = 3):
-    """Whole-block body: grid = (nb,); see the module docstring."""
+    """Whole-block body: grid = (nb,); see the module docstring.
+
+    ``meta_ref[b] = blen | (all_literal << 24)``: a block whose only
+    command is one literal stretch (incompressible data, the memcpy
+    control row) takes a single scalar branch straight to a masked copy
+    of its literal plane, skipping routing / paint / carries / the
+    literal staircase entirely."""
     roll = _jroll if interpret else _proll
     b = pl.program_id(0)
-    blen = blen_ref[b]
+    meta = meta_ref[b]
+    blen = meta & 0xFFFFFF
+    all_lit = meta >> 24
     Wr = min(STRIPE, R)
 
+    def write_masked(out):
+        @pl.when(blen >= R * ROW)
+        def _():
+            out_ref[0] = out
+
+        @pl.when(blen < R * ROW)
+        def _():
+            flat = (jax.lax.broadcasted_iota(jnp.int32, (R, ROW), 0) * ROW
+                    + jax.lax.broadcasted_iota(jnp.int32, (R, ROW), 1))
+            out_ref[0] = jnp.where(flat < blen, out, 0)
+
+    @pl.when(all_lit == 1)
+    def _():
+        write_masked(lits_ref[0])
+
+    @pl.when(all_lit == 0)
+    def _():
+        _decode_block(code_ref, ev_ref, dp_ref, lits_ref, out_ref,
+                      accv_ref, accv2_ref, accw_ref, accw2_ref,
+                      b, blen, roll, NC=NC, R=R, Wr=Wr, stage=stage)
+
+
+def _decode_block(code_ref, ev_ref, dp_ref, lits_ref, out_ref,
+                  accv_ref, accv2_ref, accw_ref, accw2_ref,
+                  b, blen, roll, *, NC: int, R: int, Wr: int, stage: int):
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (ROW, ROW), 1)
     subl128 = jax.lax.broadcasted_iota(jnp.int32, (ROW, 1), 0)
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (ROW, Wr), 1)
@@ -347,6 +380,12 @@ def _decode_jit(sym, count, lit_len, lits, n_cmds, n_lits, block_len, *,
                   0, max((R - Wr) & ~7, 0))
     code = (r0 | (lcnt << 16)).astype(jnp.int32)
 
+    # all-literal fast-path flag (kernel docstring): exactly one command
+    # and its literal stretch spans the whole valid length
+    all_lit = ((n_cmds == 1)
+               & (n_lits.astype(jnp.int32) == block_len)).astype(jnp.int32)
+    meta = (block_len | (all_lit << 24)).astype(jnp.int32)
+
     kernel = functools.partial(_decode_body, NC=NC, R=R,
                                interpret=interpret, stage=stage)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -369,7 +408,7 @@ def _decode_jit(sym, count, lit_len, lits, n_cmds, n_lits, block_len, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(code, block_len, ev_src.reshape(nb, NC, ROW),
+    )(code, meta, ev_src.reshape(nb, NC, ROW),
       d_pull.reshape(nb, NC, ROW), lits3)
     return out.reshape(nb, B)
 

@@ -161,3 +161,24 @@ def test_events_only_in_late_stripe():
         block_size=B, interpret=True))
     h = planar.host_decode_block(sym[0], count[0], lit_len[0], lits[0], 2, B)
     assert np.array_equal(y[0], h)
+
+
+def test_all_literal_fast_path():
+    """Single-command (incompressible) blocks take the copy fast path and
+    still decode exactly; mixed batches of fast and slow blocks agree with
+    the host decoder."""
+    B = 65536
+    rng = np.random.default_rng(4)
+    raw = rng.integers(0, 256, B, dtype=np.uint8)      # all-literal block
+    runs = np.zeros(B, np.uint8)
+    runs[: B // 2] = 7                                  # run-heavy block
+    blocks = np.stack([raw, runs])
+    from hypersonic_rle_kit_tpu.ops import planar as pl_mod
+    cap = pl_mod.capacity_for(B, 6)
+    outs = [pl_mod.host_encode_block(blocks[b], cap, B, 6) for b in range(2)]
+    cols = ([np.stack([o[i] for o in outs]) for i in range(4)]
+            + [np.array([o[i] for o in outs], np.int32) for i in (4, 5)])
+    assert cols[4][0] == 1          # the raw block really is one command
+    y = np.asarray(decode_sup.decode_planar_sup(
+        *cols, np.full(2, B, np.int32), block_size=B, interpret=True))
+    np.testing.assert_array_equal(y, blocks)
