@@ -244,8 +244,9 @@ def decompress(buf, *, backend: str = "auto") -> bytes:
     if backend == "kernel":
         from .ops import decode_sup, unpack_device
         interp = jax.default_backend() != "tpu"
-        if (info.block_size % 128 == 0
-                and info.block_size <= decode_sup.MAX_BLOCK):
+        cap_est = max((bl["n_cmds"] for bl in blocks), default=1)
+        cap_est = -(-cap_est // 128) * 128
+        if decode_sup.fits_kernel(info.block_size, cap_est):
             # O(compressed) device path: ship payload sections, bit-unpack
             # the command columns on-device (ops/unpack_device.py)
             pk = container.pack_for_device(buf, parsed=(info, blocks))
@@ -253,8 +254,18 @@ def decompress(buf, *, backend: str = "auto") -> bytes:
                 pk["block_len"] = tlen
                 arrs = {k: jnp.asarray(pk[k])
                         for k in unpack_device.SECTION_KEYS if k in pk}
-                yd = unpack_device.dispatch_packed(pk, arrs,
-                                                   interpret=interp)
+                try:
+                    yd = unpack_device.dispatch_packed(pk, arrs,
+                                                       interpret=interp)
+                except Exception:
+                    # extreme command densities can push the kernel's
+                    # fully-unrolled column loop past the chip's VMEM at
+                    # large blocks; the XLA decoder below has no such
+                    # ceiling
+                    yd = None
+            else:
+                yd = None
+            if yd is not None:
                 if w > 1:
                     # width re-interleave on-device: one transpose per
                     # block (rle24_extreme_cpu_decode.h:30-55's staggered

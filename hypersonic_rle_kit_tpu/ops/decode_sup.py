@@ -100,6 +100,19 @@ _PAD_POS = 1 << 20          # > any block position; (PAD_POS << 10) < 2^31
 MAX_BLOCK = 1 << 19         # pos field must stay below _PAD_POS
 _PAD_WORD = (_PAD_POS << _POS_SHIFT) | _VAL_OFF
 STRIPE = 128                # rows per stripe = paint window height
+MAX_COLUMNS = 256           # event-column budget: beyond this the unrolled
+                            # paint loop exceeds the chip's VMEM/compile
+                            # budget; callers route denser blocks to XLA
+
+
+def fits_kernel(block_size: int, capacity: int) -> bool:
+    """Whether the fully-unrolled kernel is compilable for this geometry
+    (block small enough, event-column count within MAX_COLUMNS)."""
+    if block_size % ROW or block_size > MAX_BLOCK:
+        return False
+    ns = -(-(block_size // ROW) // STRIPE)
+    nc = ns + -(-2 * capacity // ROW)
+    return nc <= MAX_COLUMNS
 
 
 def _jroll(x, s, axis):
@@ -155,16 +168,19 @@ def _decode_body(code_ref, meta_ref, ev_ref, dp_ref, lits_ref,
                  *, NC: int, R: int, interpret: bool, stage: int = 3):
     """Whole-block body: grid = (nb,); see the module docstring.
 
-    ``meta_ref[b] = blen | (all_literal << 24)``: a block whose only
-    command is one literal stretch (incompressible data, the memcpy
-    control row) takes a single scalar branch straight to a masked copy
-    of its literal plane, skipping routing / paint / carries / the
-    literal staircase entirely."""
+    ``meta_ref[b] = blen | flags``: a block whose only command is one
+    literal stretch (incompressible data, the memcpy control row) takes a
+    single scalar branch straight to a masked copy of its literal plane;
+    a block that is one whole-block run (sparse/zero data) broadcasts its
+    symbol (the MEMSET analog).  Both skip routing / paint / carries /
+    the literal staircase entirely."""
     roll = _jroll if interpret else _proll
     b = pl.program_id(0)
     meta = meta_ref[b]
-    blen = meta & 0xFFFFFF
-    all_lit = meta >> 24
+    blen = meta & 0xFFFFF
+    all_lit = (meta >> 20) & 1
+    all_run = (meta >> 21) & 1
+    sym0 = (meta >> 22) & 0xFF
     Wr = min(STRIPE, R)
 
     def write_masked(out):
@@ -180,9 +196,25 @@ def _decode_body(code_ref, meta_ref, ev_ref, dp_ref, lits_ref,
 
     @pl.when(all_lit == 1)
     def _():
-        write_masked(lits_ref[0])
+        # mask-free copy: the gate requires n_lits == blen and the padded
+        # literal plane is zero beyond n_lits, so the copied tail already
+        # matches the masked-decode contract
+        out_ref[0] = lits_ref[0]
 
-    @pl.when(all_lit == 0)
+    if R <= 1024:
+        # the broadcast branch tips the 128 MiB VMEM budget at R = 2048
+        # (the full body sits just under it); whole-block runs at larger
+        # blocks take the normal path instead
+        @pl.when(all_run == 1)
+        def _():
+            # gated to full blocks in the prep, so the broadcast needs no
+            # tail mask (min(iota, 0) anchors a real vector layout)
+            flat = (jax.lax.broadcasted_iota(jnp.int32, (R, ROW), 0) * ROW
+                    + jax.lax.broadcasted_iota(jnp.int32, (R, ROW), 1))
+            out_ref[0] = (jnp.minimum(flat, 0)
+                          + (sym0 & 0xFF)).astype(jnp.uint8)
+
+    @pl.when(all_lit + all_run == 0)
     def _():
         _decode_block(code_ref, ev_ref, dp_ref, lits_ref, out_ref,
                       accv_ref, accv2_ref, accw_ref, accw2_ref,
@@ -380,11 +412,20 @@ def _decode_jit(sym, count, lit_len, lits, n_cmds, n_lits, block_len, *,
                   0, max((R - Wr) & ~7, 0))
     code = (r0 | (lcnt << 16)).astype(jnp.int32)
 
-    # all-literal fast-path flag (kernel docstring): exactly one command
-    # and its literal stretch spans the whole valid length
+    # fast-path flags (kernel docstring): all-literal = exactly one
+    # command whose literal stretch spans the valid length; all-run = one
+    # run command covering the whole valid length with no literals
     all_lit = ((n_cmds == 1)
                & (n_lits.astype(jnp.int32) == block_len)).astype(jnp.int32)
-    meta = (block_len | (all_lit << 24)).astype(jnp.int32)
+    all_run = ((n_cmds == 2) & (count[:, 0] == block_len)
+               & (block_len == B)       # full blocks only: no tail mask
+               & (lit_len[:, 0] == 0)
+               & (lit_len[:, 1] == 0)).astype(jnp.int32)
+    if R > 1024:                         # branch not emitted (see kernel)
+        all_run = jnp.zeros_like(all_run)
+    sym0 = sym[:, 0].astype(jnp.int32)
+    meta = (block_len | (all_lit << 20) | (all_run << 21)
+            | (jnp.where(all_run == 1, sym0, 0) << 22)).astype(jnp.int32)
 
     kernel = functools.partial(_decode_body, NC=NC, R=R,
                                interpret=interpret, stage=stage)

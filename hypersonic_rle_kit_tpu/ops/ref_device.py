@@ -537,12 +537,13 @@ def decompress_ref_device(buf, codec, *, block_size: int = DEFAULT_BLOCK,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     y = None
-    try:
-        y = decode_sup.decode_planar_sup(
-            sym, count, lit_len, lits, n_cmds, n_lits, block_len,
-            block_size=B, interpret=interpret)
-    except (ValueError, AssertionError):
-        y = None
+    if decode_sup.fits_kernel(B, sym.shape[1]):
+        try:
+            y = decode_sup.decode_planar_sup(
+                sym, count, lit_len, lits, n_cmds, n_lits, block_len,
+                block_size=B, interpret=interpret)
+        except Exception:   # shape/density limits (incl. VMEM ceilings)
+            y = None
     if y is None:                      # density/shape fallback: XLA decoder
         pb = planar_mod.PlanarBlocks(
             jnp.asarray(sym), jnp.asarray(count), jnp.asarray(lit_len),

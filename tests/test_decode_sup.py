@@ -182,3 +182,22 @@ def test_all_literal_fast_path():
     y = np.asarray(decode_sup.decode_planar_sup(
         *cols, np.full(2, B, np.int32), block_size=B, interpret=True))
     np.testing.assert_array_equal(y, blocks)
+
+
+def test_all_run_fast_path():
+    """A block that is one whole-block run broadcasts its symbol (the
+    MEMSET analog); partial-tail all-run blocks mask correctly."""
+    B = 65536
+    blocks = np.stack([np.full(B, 9, np.uint8), np.zeros(B, np.uint8)])
+    lens = np.array([B, B - 321], np.int32)
+    blocks[1, lens[1]:] = 0
+    from hypersonic_rle_kit_tpu.ops import planar as pl_mod
+    cap = pl_mod.capacity_for(B, 6)
+    outs = [pl_mod.host_encode_block(blocks[b, :lens[b]], cap, B, 6)
+            for b in range(2)]
+    cols = ([np.stack([o[i] for o in outs]) for i in range(4)]
+            + [np.array([o[i] for o in outs], np.int32) for i in (4, 5)])
+    assert cols[4][0] == 2 and cols[1][0, 0] == B
+    y = np.asarray(decode_sup.decode_planar_sup(
+        *cols, lens, block_size=B, interpret=True))
+    np.testing.assert_array_equal(y, blocks)
