@@ -214,13 +214,15 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
     # --- headline: payload sections (HBM) -> bytes (HBM), one jit
     #     (on-device bit-unpack + event decode, O(compressed) input) ---
     def dec():
-        return unpack_device.dispatch_packed(pk, dpk)
+        # words out: the byte view of the int32 output is free on the host
+        return unpack_device.dispatch_packed(pk, dpk, out_words=True)
 
     t0 = time.perf_counter()
     out = dec()
     _ = np.asarray(out[0, :1])
     log(f"decode kernel compile+first run: {time.perf_counter() - t0:.1f}s")
-    xd = jax.device_put(jnp.asarray(x))
+    xw = np.ascontiguousarray(x).view(np.int32)
+    xd = jax.device_put(jnp.asarray(xw))
     ok = bool(np.asarray(jax.jit(lambda a, b: jnp.all(a == b))(out, xd)))
     log(f"device decode roundtrip: {ok}")
     results["ok"] = ok
@@ -243,7 +245,8 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
     cap_used = max(128, -(-used // 128) * 128)
     dev_cols_for_stages = [jax.device_put(jnp.asarray(v)) for v in
                            (sym[:, :cap_used], count[:, :cap_used],
-                            lit_len[:, :cap_used], lits, n_cmds, n_lits,
+                            lit_len[:, :cap_used],
+                            decode_sup.lits_to_words(lits), n_cmds, n_lits,
                             block_len)]
 
     # --- kernel stage-time table (decode_sup stage knob: 0=prep/IO,
@@ -253,7 +256,8 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
         for st in (0, 1, 2, 3):
             def dec_st(st=st):
                 return decode_sup.decode_columns_device(
-                    *dev_cols_for_stages, block_size=block, stage=st)
+                    *dev_cols_for_stages, block_size=block, stage=st,
+                    out_words=True)
             r = dec_st()
             _ = np.asarray(r[0, :1])
             t = _timed_chain(dec_st, lambda r: np.asarray(r[0, :1]), 3, 6)
@@ -268,7 +272,8 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
     dev = dev_cols_for_stages
 
     def dec_cols():
-        return decode_sup.decode_columns_device(*dev, block_size=block)
+        return decode_sup.decode_columns_device(*dev, block_size=block,
+                                                out_words=True)
     outc = dec_cols()
     okc = bool(np.asarray(jax.jit(lambda a, b: jnp.all(a == b))(outc, xd)))
     col_t = _timed_chain(dec_cols, lambda r: np.asarray(r[0, :1]),
@@ -282,7 +287,7 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
     pk2 = container.pack_for_device(blob)
     dpk2 = {k: jax.device_put(jnp.asarray(pk2[k]))
             for k in unpack_device.SECTION_KEYS if k in pk2}
-    out2 = unpack_device.dispatch_packed(pk2, dpk2)
+    out2 = unpack_device.dispatch_packed(pk2, dpk2, out_words=True)
     _ = np.asarray(out2[0, :1])
     e2e = n / (time.perf_counter() - t0 - fetch) / 1e9
     results["decode_e2e_gbps"] = e2e
@@ -341,15 +346,17 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
             cu2 = max(128, -(-used2 // 128) * 128)
             d3 = [jax.device_put(jnp.asarray(v)) for v in
                   (pc[0][:, :cu2], pc[1][:, :cu2], pc[2][:, :cu2],
-                   pc[3], pc[4], pc[5], pc[6])]
+                   decode_sup.lits_to_words(pc[3]), pc[4], pc[5], pc[6])]
 
             def dec2(d3=d3):
                 return decode_sup.decode_columns_device(*d3,
-                                                        block_size=block)
+                                                        block_size=block,
+                                                        out_words=True)
             out2b = dec2()
+            x2w = np.ascontiguousarray(x2).view(np.int32)
             ok2 = bool(np.asarray(jax.jit(
                 lambda a, b: jnp.all(a == b))(out2b,
-                                              jax.device_put(jnp.asarray(x2)))))
+                                              jax.device_put(jnp.asarray(x2w)))))
             t2 = _timed_chain(dec2, lambda r: np.asarray(r[0, :1]),
                               max(3, iters // 2), 4, fetch)
             results[f"decode_{tag}_gbps"] = (nb2 * block) / t2 / 1e9 if ok2 \

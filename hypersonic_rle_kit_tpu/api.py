@@ -28,6 +28,28 @@ from .parallel import container
 # cnt_bits+lit_bits+8 bits ~= 3 bytes, so the same threshold is used.
 _DEFAULT_MIN_COUNT = 6
 
+# kernel -> XLA capacity-fallback counter: observable so the fuzz lane can
+# assert the Pallas path actually ran (fuzz.py --device-backend kernel);
+# the reference analog is --max-simd's explicit tier forcing (main.c:172-282)
+_kernel_fallbacks = 0
+
+_RESOURCE_MARKERS = ("RESOURCE_EXHAUSTED", "resource_exhausted", "vmem",
+                     "VMEM", "out of memory", "scoped", "exceeds",
+                     "Attempting to allocate")
+
+
+def kernel_fallback_count() -> int:
+    """Number of kernel->XLA capacity fallbacks taken by decompress()."""
+    return _kernel_fallbacks
+
+
+def _is_resource_error(exc: Exception) -> bool:
+    """Whether an exception is a genuine device-capacity limit (VMEM /
+    allocation) rather than a kernel bug; only these may demote the
+    flagship kernel to the XLA decoder."""
+    msg = f"{type(exc).__name__}: {exc}"
+    return any(m in msg for m in _RESOURCE_MARKERS)
+
 
 def hrt1_params(cspec: "spec_mod.CodecSpec"):
     """Map a reference codec spec onto the HRT1 device pipeline's parameter
@@ -179,8 +201,8 @@ def compress(data, codec: str | int | spec_mod.CodecSpec = "8 Bit", *,
         nb_, B_ = x.shape
         flat = (np.arange(nb_, dtype=np.int64)[:, None] * 256
                 + x.astype(np.int64))
-        w = (np.arange(B_)[None, :] < lens[:, None]).astype(np.float64)
-        hist = np.bincount(flat.ravel(), weights=w.ravel(),
+        wt = (np.arange(B_)[None, :] < lens[:, None]).astype(np.float64)
+        hist = np.bincount(flat.ravel(), weights=wt.ravel(),
                            minlength=nb_ * 256).reshape(nb_, 256)
         only_sym = hist.argmax(axis=1).astype(np.int32)
     cap = planar.capacity_for(block_size, min_count)
@@ -255,13 +277,27 @@ def decompress(buf, *, backend: str = "auto") -> bytes:
                 arrs = {k: jnp.asarray(pk[k])
                         for k in unpack_device.SECTION_KEYS if k in pk}
                 try:
-                    yd = unpack_device.dispatch_packed(pk, arrs,
-                                                       interpret=interp)
-                except Exception:
-                    # extreme command densities can push the kernel's
-                    # fully-unrolled column loop past the chip's VMEM at
-                    # large blocks; the XLA decoder below has no such
-                    # ceiling
+                    # width-1 codecs take the words form: the byte view
+                    # of the int32 output is free on the host
+                    yd, bad = unpack_device.dispatch_packed(
+                        pk, arrs, interpret=interp, with_flags=True,
+                        out_words=(w == 1))
+                except Exception as exc:
+                    # only genuine capacity limits may demote to XLA
+                    # (extreme command densities can push the kernel past
+                    # the chip's VMEM at large blocks); anything else --
+                    # a Mosaic miscompile, a layout bug -- must surface,
+                    # not silently detour (VERDICT r4 #5)
+                    if not _is_resource_error(exc):
+                        raise
+                    global _kernel_fallbacks
+                    _kernel_fallbacks += 1
+                    yd = None
+                if yd is not None and bad is not None and bool(
+                        np.asarray(jnp.any(bad != 0))):
+                    # hostile deep container: stored sub-header counts
+                    # disagree with the escape population; re-route to the
+                    # validating host reader, which raises ContainerError
                     yd = None
             else:
                 yd = None
@@ -282,7 +318,8 @@ def decompress(buf, *, backend: str = "auto") -> bytes:
                             np.asarray(yd[b]), n, w)
                     interleaved = True
                 else:
-                    y = np.asarray(yd)
+                    from .ops import decode_sup as _ds
+                    y = _ds.words_to_bytes(np.asarray(yd))
         backend = "done" if y is not None else "device"  # XLA fallback
 
     info, planar_cols = (info, None) if y is not None else \

@@ -129,9 +129,14 @@ def fuzz_device_one(data: bytes, s: spec_mod.CodecSpec,
     from .parallel import container
 
     blob = api.compress(data, s)
+    falls0 = api.kernel_fallback_count()
     dec = api.decompress(blob, backend=backend)
     if dec != data:
         return f"device round-trip mismatch ({len(dec)} vs {len(data)})"
+    if backend == "kernel" and api.kernel_fallback_count() != falls0:
+        # the kernel lane must exercise the kernel: a silent XLA demotion
+        # here would hide Mosaic bugs behind passing fuzz (VERDICT r4 #5)
+        return "kernel backend silently fell back to XLA"
     for _ in range(4):
         m = bytearray(blob)
         for _ in range(int(rng.integers(1, 9))):

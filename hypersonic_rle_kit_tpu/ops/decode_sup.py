@@ -1,16 +1,19 @@
-"""Flagship decode kernel: stripe-bucketed row-local event paint,
-O(compressed) device input everywhere.
+"""Flagship decode kernel: stripe-bucketed event paint in word-major
+coordinates + word-packed (4-bytes-per-lane) expansion, O(compressed)
+device input everywhere.
 
 The whole pipeline is one jit:
 
     planar columns [nb, C] (device)  --XLA-->  event stream + stripe tables
-                                     --Pallas-->  decoded bytes [nb, B]
+                                     --Pallas-->  decoded words [nb, B/4]
 
-so the host contribution to a decompress is only the container unpack; the
-accelerator reads O(compressed) inputs and writes O(uncompressed) output,
-like the reference decoder that touches only compressed bytes
-(rle8_extreme_cpu.h:1825-1913) and the OpenCL device path that uploads the
-payload only (rle8_ocl.c:335-348).
+with the byte view of the output being a zero-cost host reinterpretation
+(int32 little-endian = 4 output bytes), so the host contribution to a
+decompress is only the container unpack; the accelerator reads
+O(compressed) inputs and writes O(uncompressed) output, like the
+reference decoder that touches only compressed bytes
+(rle8_extreme_cpu.h:1825-1913) and the OpenCL device path that uploads
+the payload only (rle8_ocl.c:335-348).
 
 Representation.  Every run becomes two *events* in one position-sorted
 stream (no sort needed -- runs are disjoint and commands are emitted in
@@ -21,68 +24,58 @@ order):
 
 packed as ``pos << 10 | (value + 256)`` in one int32.
 
-Row-local formulation.  Decompose every output position p = 128 r + l.
-For an event at (er, el) with signed weight w = sign(value):
+Word-packed formulation (round 5).  The r3/r4 kernels processed the
+output plane one byte per 32-bit lane, which pinned them near ~8 GB/s:
+the measured stage table had literal placement ~2.8 ms and paint ~3.0 ms
+of 8.6 ms at 64 MiB.  Here output *word* q holds bytes 4q..4q+3 as a
+[R4, 128] int32 plane (R4 = B/512).  Stages:
 
-    cum(r, l)    = rowcum[r] + sum_{ev in row r, el <= l} value
-    covbef(r, l) = cbr[r] + cov_state[r] * l + sum_{ev in row r} w relu(l - el)
+1. **route**: staircase-pull events into stripe-bucketed columns
+   (ops/shuffle.staircase_pull on the event plane), batched over the grid
+   cell's block group.
+2. **paint, word-major**: per column, one one-hot *value* matrix over a
+   512-lane axis (4 byte slots x 128 word lanes) contracted against a
+   one-hot word-row match, accumulated into the column's 32-word-row
+   stripe window of a [R4, 512] plane.  Slot-plane t of the accumulator
+   IS the per-slot event paint, so the in-word prefixes P_t are three
+   lane-slice adds -- no byte->word repacking exists anywhere.  (The
+   first r5 formulation painted byte-major and resampled via sixteen
+   [R4,128]x[128,128] matmuls: measured 8.5 ms -- small-matmul issue
+   latency dominates; fusing to 4 matmuls still cost 2.1 ms.  Painting
+   word-major makes the cost identical to r4's single value paint.)
+   The r4 kernel also painted a parallel *weight* plane to derive
+   literal displacements; the packed formulation derives them from
+   coverage bits instead, halving paint matmuls and accumulator traffic.
+3. **carries**: per-word in-row prefix via one triangular [128,128]
+   matmul on the word totals, cross-row carry via a [1, R4] log-step
+   scan (4x shorter than the r4 [1, R] scans); ``cum_t = carry + P_t``,
+   coverage ``cov_t = cum_t >= 1``, run bytes ``sym_t = (cum_t-1) & 0xFF``.
+4. **literals**: displacement ``d4`` (covered bytes before each word)
+   comes from a second triangular-matmul scan over per-word coverage
+   counts; ``dq = ceil(d4/4)`` is again a staircase on the *word* domain,
+   so two shared-compare staircase pulls fetch the two source words
+   straddling every destination word, and a 4-slot funnel extract
+   (variable in-word shifts -- Mosaic has full i32 vector shifts) places
+   each literal byte.  This replaces the r4 byte-plane staircase
+   (log2(B) levels over [R, 128] planes) with log2(B/4) levels over
+   [R/4, 128]: measured 0.66 ms vs 2.83 ms on the bench geometry.
+   Verified against a brute-force model over 200 randomized geometries
+   before porting.
 
-where ``cum`` is the coverage value (0 => literal byte, v => run byte v - 1)
-and ``covbef`` is the number of covered bytes before p (the literal
-displacement).  Events affect only their own 128-byte row, so each is
-painted as a *one-hot* (value / weight at its lane) by an MXU contraction,
-and the in-row step/ramp prefix expansion is two [128, 128] constant
-post-matmuls per block.  The cross-row carries (``rowcum``, ``cov_state``,
-``cbr``) are three length-R vectors scanned log-step over a [1, R] vector.
+Literal input is likewise consumed as int32 words ([4 bytes/lane]); the
+host section slice is reinterpreted for free (np view).  XLA-side
+``bitcast_convert_type`` was measured at 1.7-2.8 ms per direction at
+64 MiB (minor-dim-4 relayouts) and is avoided on every hot path.
 
-Stripe bucketing.  The XLA prep distributes the sorted event stream into
-columns of 128 slots such that every column's events live inside one
-128-row stripe (dense stripes get several columns; the column budget
-R/128 + ceil(E/128) always suffices).  Every paint is therefore an
-unconditional 128-row windowed accumulate -- no data-dependent branch
-exists in the kernel at all.  (The branchy variant this replaces -- paint
-window chosen per group with a full-plane fallback -- serialized Mosaic's
-instruction scheduling and cost ~30% of kernel time; XLA-side gathers for
-the same redistribution lowered to per-element loops and cost 4x the whole
-kernel.)  The slot -> event-index map is a staircase (non-decreasing,
-increments in {0, 1}), so the kernel routes events into bucketed order
-with a VMEM-resident log-step pull (ops/shuffle.staircase_pull) -- the
-same primitive that places literal bytes.
-
-Kernel stages (grid = one cell per block):
-
-1. **route**: staircase-pull events into stripe-bucketed columns, one
-   whole-plane transpose to column-major.
-2. **paint**: per column, one-hot value/weight matrices contracted against
-   a one-hot row-match matrix, accumulated into the column's stripe
-   window (rotating accumulators decouple consecutive read-modify-writes);
-   then the two constant step/ramp post-matmuls.
-3. **carries**: three [1, R] log-step scans on lane-127 columns.
-4. **literals**: ``staircase_pull`` places every literal byte at
-   displacement ``covbef`` (the MEMCPY dual of rleX_extreme_common.h's
-   memcpy walk).
-
-Performance envelope (measured per stage on v5e via the ``stage`` knob;
-the bench JSON publishes the table): run/symbol expansion is MXU-bound
-and cheap (~134 cycles per 128-event column all-inclusive); the dominant
-cost is stage 4, byte-exact *literal placement*.  A monotone per-byte
-route on a machine without fast gather/scatter is a log2(B)-depth
-roll+select network -- ~50 full-plane VPU ops however it is factored
-(word-packing founders on Mosaic's lack of sub-32-bit rotates and lane
-expansion for packed data; MXU permutation matmuls solve static byte
-shuffles but not data-dependent per-byte shifts; coarse/fine splits
-reproduce the same op count).  That pins this formulation's single-chip
-decode near ~8 GB/s on DCT-like data: ~4x the fastest published CPU RLE
-decoders of comparable ratio (trle 5.4 GB/s, README.md:64) and ~30% of
-the reference's 27 GB/s, whose scalar loop rides a hardware byte-move
-path TPUs do not expose.  Ratio, not byte speed, is where the container
-wins (parallel/container.py FLAG_DEEP).
+Exactness: every per-cell partial sum of event values lies in
+[-256, 256] (runs are disjoint), so bf16 matmul inputs are exact and f32
+accumulation is exact; per-word coverage counts are <= 4 so their in-row
+prefix (<= 512) is exact in f32.
 """
 
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -99,7 +92,8 @@ _VAL_OFF = 256
 _PAD_POS = 1 << 20          # > any block position; (PAD_POS << 10) < 2^31
 MAX_BLOCK = 1 << 19         # pos field must stay below _PAD_POS
 _PAD_WORD = (_PAD_POS << _POS_SHIFT) | _VAL_OFF
-STRIPE = 128                # rows per stripe = paint window height
+STRIPE = 128                # byte rows per stripe = 32 word rows
+WR4 = 32                    # paint window height in word rows
 MAX_COLUMNS = 256           # event-column budget: beyond this the unrolled
                             # paint loop exceeds the chip's VMEM/compile
                             # budget; callers route denser blocks to XLA
@@ -107,8 +101,14 @@ MAX_COLUMNS = 256           # event-column budget: beyond this the unrolled
 
 def fits_kernel(block_size: int, capacity: int) -> bool:
     """Whether the fully-unrolled kernel is compilable for this geometry
-    (block small enough, event-column count within MAX_COLUMNS)."""
-    if block_size % ROW or block_size > MAX_BLOCK:
+    (block small enough, event-column count within MAX_COLUMNS).
+
+    ``block_size % 1024``: stripe paint windows are 8-aligned (the Mosaic
+    alignment contract on pl.ds) and accumulator planes are padded to
+    8-row multiples, so R4 = block_size/512 must divide evenly into the
+    padded plane (ADVICE r4: silent corruption at e.g. block_size=16640);
+    other geometries take the XLA decoder instead."""
+    if block_size % (8 * ROW) or block_size > MAX_BLOCK:
         return False
     ns = -(-(block_size // ROW) // STRIPE)
     nc = ns + -(-2 * capacity // ROW)
@@ -121,6 +121,20 @@ def _jroll(x, s, axis):
 
 def _proll(x, s, axis):
     return pltpu.roll(x, s, axis=axis)
+
+
+def lits_to_words(lits: np.ndarray) -> np.ndarray:
+    """Host-side zero-copy reinterpretation of a [nb, L] uint8 literal
+    section (L % 4 == 0) as [nb, L/4] little-endian int32 words -- the
+    kernel's literal input format."""
+    assert lits.dtype == np.uint8 and lits.shape[1] % 4 == 0, lits.shape
+    return np.ascontiguousarray(lits).view(np.int32)
+
+
+def words_to_bytes(words: np.ndarray) -> np.ndarray:
+    """Host-side zero-copy view of [nb, W] int32 decode output as
+    [nb, 4W] bytes."""
+    return np.ascontiguousarray(words).view(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -152,10 +166,12 @@ def _event_stream(sym, count, lit_len, n_cmds):
 
 
 def _row_scan_1xr(vec, R, roll):
-    """Inclusive prefix sum of a [1, R] int32 vector by log-step rolls."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
+    """Inclusive prefix sum of a [..., 1, R] int32 vector by log-step
+    rolls."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, vec.shape, vec.ndim - 1)
     for bb in range(max(1, (R - 1).bit_length())):
-        vec = vec + jnp.where(lane >= (1 << bb), roll(vec, 1 << bb, 1), 0)
+        vec = vec + jnp.where(lane >= (1 << bb),
+                              roll(vec, 1 << bb, vec.ndim - 1), 0)
     return vec
 
 
@@ -163,190 +179,223 @@ def _row_scan_1xr(vec, R, roll):
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _decode_body(code_ref, meta_ref, ev_ref, dp_ref, lits_ref,
-                 out_ref, accv_ref, accv2_ref, accw_ref, accw2_ref,
-                 *, NC: int, R: int, interpret: bool, stage: int = 3):
-    """Whole-block body: grid = (nb,); see the module docstring.
+def _staircase_pull2(a, b, d, roll):
+    """Two staircase pulls sharing one displacement: y[p] = x[p - d[p]]
+    for both arrays with a single bit-walk of ``d`` (ops/shuffle.py
+    staircase contract: d >= 0, src steps in {0, 1})."""
+    R = a.shape[-2]
+    nbits = (R * ROW - 1).bit_length()
+    ds = d << (32 - nbits)
+    for bb in reversed(range(nbits)):
+        sa = shuffle.flat_roll(a, 1 << bb, roll)
+        sb = shuffle.flat_roll(b, 1 << bb, roll)
+        take = ds < 0
+        a = jnp.where(take, sa, a)
+        b = jnp.where(take, sb, b)
+        ds = ds << 1
+    return a, b
+
+
+def _decode_body(code_ref, meta_ref, ev_ref, dp_ref, litw_ref,
+                 out_ref, accv_ref, accv2_ref,
+                 *, NC: int, R4: int, R4p: int, G: int, interpret: bool,
+                 stage: int = 3):
+    """Whole-group body: grid = (nb / G,); see the module docstring.
 
     ``meta_ref[b] = blen | flags``: a block whose only command is one
     literal stretch (incompressible data, the memcpy control row) takes a
-    single scalar branch straight to a masked copy of its literal plane;
-    a block that is one whole-block run (sparse/zero data) broadcasts its
-    symbol (the MEMSET analog).  Both skip routing / paint / carries /
-    the literal staircase entirely."""
+    single scalar branch straight to a copy of its literal word plane; a
+    block that is one whole-block run (sparse/zero data) broadcasts its
+    replicated symbol word (the MEMSET analog).  Both skip routing /
+    paint / scans / the literal pull entirely."""
     roll = _jroll if interpret else _proll
-    b = pl.program_id(0)
-    meta = meta_ref[b]
-    blen = meta & 0xFFFFF
-    all_lit = (meta >> 20) & 1
-    all_run = (meta >> 21) & 1
-    sym0 = (meta >> 22) & 0xFF
-    Wr = min(STRIPE, R)
+    cell = pl.program_id(0)
+    B = R4 * 4 * ROW
 
-    def write_masked(out):
-        @pl.when(blen >= R * ROW)
-        def _():
-            out_ref[0] = out
+    # hoisted constants (shared by every block of the group)
+    lane512 = jax.lax.broadcasted_iota(jnp.int32, (ROW, 4 * ROW), 1)
+    subl128 = jax.lax.broadcasted_iota(jnp.int32, (ROW, 1), 0)
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (ROW, WR4), 1)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (ROW, ROW), 1)
+    li = jax.lax.broadcasted_iota(jnp.int32, (ROW, ROW), 0)
+    tri = (lane128 >= li).astype(jnp.bfloat16)          # in-row prefix
+    dn = (((0,), (0,)), ((), ()))
+    mdn = (((1,), (0,)), ((), ()))
+    flatw = (jax.lax.broadcasted_iota(jnp.int32, (R4, ROW), 0) * ROW
+             + jax.lax.broadcasted_iota(jnp.int32, (R4, ROW), 1))
+    consts = (lane512, subl128, rows_iota, tri, dn, mdn, flatw)
 
-        @pl.when(blen < R * ROW)
-        def _():
-            flat = (jax.lax.broadcasted_iota(jnp.int32, (R, ROW), 0) * ROW
-                    + jax.lax.broadcasted_iota(jnp.int32, (R, ROW), 1))
-            out_ref[0] = jnp.where(flat < blen, out, 0)
+    # route all G blocks' events in one batched pull (amortizes the
+    # latency-bound small-plane ops across the group)
+    if stage >= 1:
+        routed_all = shuffle.staircase_pull(ev_ref[...], dp_ref[...], roll)
 
-    @pl.when(all_lit == 1)
-    def _():
-        # mask-free copy: the gate requires n_lits == blen and the padded
-        # literal plane is zero beyond n_lits, so the copied tail already
-        # matches the masked-decode contract
-        out_ref[0] = lits_ref[0]
+    for g in range(G):
+        b = cell * G + g
+        meta = meta_ref[b]
+        blen = meta & 0xFFFFF
+        all_lit = (meta >> 20) & 1
+        all_run = (meta >> 21) & 1
+        sym0 = (meta >> 22) & 0xFF
 
-    if R <= 1024:
-        # the broadcast branch tips the 128 MiB VMEM budget at R = 2048
-        # (the full body sits just under it); whole-block runs at larger
-        # blocks take the normal path instead
+        def write_masked(out, blen=blen, g=g):
+            @pl.when(blen >= B)
+            def _():
+                out_ref[g] = out
+
+            @pl.when(blen < B)
+            def _():
+                nf = jnp.clip(blen - 4 * flatw, 0, 4)
+                pm = (1 << (jnp.minimum(nf, 3) * 8)) - 1
+                out_ref[g] = jnp.where(nf >= 4, out, out & pm)
+
+        @pl.when(all_lit == 1)
+        def _(g=g):
+            # mask-free copy: the gate requires n_lits == blen and the
+            # padded literal plane is zero beyond n_lits, so the copied
+            # tail already matches the masked-decode contract
+            out_ref[g] = litw_ref[g]
+
         @pl.when(all_run == 1)
-        def _():
+        def _(g=g, sym0=sym0):
             # gated to full blocks in the prep, so the broadcast needs no
             # tail mask (min(iota, 0) anchors a real vector layout)
-            flat = (jax.lax.broadcasted_iota(jnp.int32, (R, ROW), 0) * ROW
-                    + jax.lax.broadcasted_iota(jnp.int32, (R, ROW), 1))
-            out_ref[0] = (jnp.minimum(flat, 0)
-                          + (sym0 & 0xFF)).astype(jnp.uint8)
+            out_ref[g] = (jnp.minimum(flatw, 0)
+                          + sym0 * jnp.int32(0x01010101))
 
-    @pl.when(all_lit + all_run == 0)
-    def _():
-        _decode_block(code_ref, ev_ref, dp_ref, lits_ref, out_ref,
-                      accv_ref, accv2_ref, accw_ref, accw2_ref,
-                      b, blen, roll, NC=NC, R=R, Wr=Wr, stage=stage)
+        @pl.when(all_lit + all_run == 0)
+        def _(g=g, b=b, blen=blen, write_masked=write_masked):
+            _decode_block(
+                code_ref, routed_all[g] if stage >= 1 else None,
+                litw_ref, out_ref, accv_ref, accv2_ref,
+                g, b, blen, write_masked, roll,
+                NC=NC, R4=R4, R4p=R4p, stage=stage, consts=consts)
 
 
-def _decode_block(code_ref, ev_ref, dp_ref, lits_ref, out_ref,
-                  accv_ref, accv2_ref, accw_ref, accw2_ref,
-                  b, blen, roll, *, NC: int, R: int, Wr: int, stage: int):
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (ROW, ROW), 1)
-    subl128 = jax.lax.broadcasted_iota(jnp.int32, (ROW, 1), 0)
-    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (ROW, Wr), 1)
-    dn = (((0,), (0,)), ((), ()))
-    li = jax.lax.broadcasted_iota(jnp.int32, (ROW, ROW), 0)
-    tri = (lane128 >= li).astype(jnp.bfloat16)              # [l >= el]
-    rampm = jnp.maximum(lane128 - li, 0).astype(jnp.bfloat16)  # relu(l-el)
+def _decode_block(code_ref, routed, litw_ref, out_ref, accv_ref, accv2_ref,
+                  g, b, blen, write_masked, roll,
+                  *, NC: int, R4: int, R4p: int, stage: int, consts):
+    (lane512, subl128, rows_iota, tri, dn, mdn, flatw) = consts
+    B = R4 * 4 * ROW
 
     accvs = (accv_ref, accv2_ref)
-    accws = (accw_ref, accw2_ref)
     # bf16 accumulators: every per-cell partial sum is an integer within
     # +-256 (open/close pairs of adjacent runs bound the net), so bf16 is
-    # exact and the zero-fill + read-modify-write traffic halves (the
-    # f32 zero-fill alone was most of the fixed per-block cost at R=2048)
-    for a in accvs + accws:
-        a[...] = jnp.zeros((R, ROW), jnp.bfloat16)
+    # exact and the zero-fill + read-modify-write traffic halves
+    for a in accvs:
+        a[...] = jnp.zeros((R4p, 4 * ROW), jnp.bfloat16)
     if stage == 0:                     # profiling: prep + launch + IO only
-        out_ref[0] = jnp.full((R, ROW), blen & 0xFF, jnp.uint8)
+        out_ref[g] = jnp.full((R4, ROW), blen, jnp.int32)
         return
 
-    # route events into stripe-bucketed column order (module docstring):
-    # a VMEM-resident staircase pull over the [NC, 128] event plane, then
-    # one transpose so each column is a [128, 1] sublane slice
-    routed = shuffle.staircase_pull(ev_ref[0], dp_ref[0], roll)
     ev_t = jnp.swapaxes(routed, 0, 1)                       # [128, NC]
 
     for c in range(NC):
         cp = code_ref[b, c]
-        r0 = pl.multiple_of(cp & 0xFFFF, 8)      # stripe start row
+        r0 = pl.multiple_of(cp & 0xFFFF, 8)      # stripe start word-row
         lcnt = cp >> 16                          # live slots in the column
         # rotate accumulators so consecutive columns' read-modify-writes
         # don't serialize on one buffer (summed once after the loop)
-        accv, accw = accvs[c % 2], accws[c % 2]
+        accv = accvs[c % 2]
 
         e = ev_t[:, c:c + 1]                     # [128, 1] event words
         pos_c = jax.lax.shift_right_logical(e, _POS_SHIFT)
-        live = (pos_c < R * ROW) & (subl128 < lcnt)
+        live = (pos_c < B) & (subl128 < lcnt)
         vraw = jnp.where(live, (e & _VAL_MASK) - _VAL_OFF, 0)
-        row_c = pos_c >> 7
-        lane_c = pos_c & 127
+        # word-major paint coordinates: byte p -> word row p >> 9, paint
+        # lane (slot << 7) | word-lane = (p & 3) * 128 + ((p >> 2) & 127)
+        rowq_c = pos_c >> 9
+        lane_c = ((pos_c & 3) << 7) | ((pos_c >> 2) & 127)
         val_cbf = vraw.astype(jnp.bfloat16)
-        w_cbf = jnp.sign(vraw).astype(jnp.bfloat16)
 
-        # one-hot value/weight lane matrices + one-hot row match
-        lm = (lane128 == lane_c).astype(jnp.bfloat16)
-        bv = lm * val_cbf
-        bw = lm * w_cbf
-        rowm = (row_c - r0 == rows_iota).astype(jnp.bfloat16)
+        # compare/astype/mul (NOT jnp.where: a [128,512] i1 where hits a
+        # Mosaic "invalid relayout" compile failure on v5e)
+        bv = (lane512 == lane_c).astype(jnp.bfloat16) * val_cbf
+        rowm = (rowq_c - r0 == rows_iota).astype(jnp.bfloat16)
         mmv = jax.lax.dot_general(rowm, bv, dimension_numbers=dn,
                                   preferred_element_type=jnp.float32
                                   ).astype(jnp.bfloat16)
-        mmw = jax.lax.dot_general(rowm, bw, dimension_numbers=dn,
-                                  preferred_element_type=jnp.float32
-                                  ).astype(jnp.bfloat16)
-        if R <= STRIPE:
+        if R4p <= WR4:
             accv[...] += mmv
-            accw[...] += mmw
         else:
-            accv[pl.ds(r0, Wr), :] += mmv
-            accw[pl.ds(r0, Wr), :] += mmw
+            accv[pl.ds(r0, WR4), :] += mmv
 
-    painted_v = accv_ref[...] + accv2_ref[...]
-    painted_w = accw_ref[...] + accw2_ref[...]
-    # in-row step/ramp expansion: one [128, 128] constant contraction each
-    mdn = (((1,), (0,)), ((), ()))
-    step = jax.lax.dot_general(
-        painted_v, tri, dimension_numbers=mdn,
-        preferred_element_type=jnp.float32).astype(jnp.int32)
-    ramp = jax.lax.dot_general(
-        painted_w, rampm, dimension_numbers=mdn,
-        preferred_element_type=jnp.float32).astype(jnp.int32)
-    if stage == 1:                     # profiling: paint only
-        out_ref[0] = (step & 0xFF).astype(jnp.uint8)
+    painted = accv_ref[...] + accv2_ref[...]            # [R4p, 512] bf16
+    if stage == 1:                     # profiling: route + paint only
+        out_ref[g] = painted[:R4, :ROW].astype(jnp.int32)
         return
 
-    # carries: three [1, R] scans on the lane-127 columns (module docstring)
-    rowdelta = jnp.swapaxes(step[:, ROW - 1:ROW], 0, 1)     # [1, R]
-    incl = _row_scan_1xr(rowdelta, R, roll)
-    excl = incl - rowdelta                                  # rowcum[r]
-    cs = (excl >= 1).astype(jnp.int32)                      # cov_state[r]
-    csn = (incl >= 1).astype(jnp.int32)                     # state after r
-    ramp_tot = jnp.swapaxes(ramp[:, ROW - 1:ROW], 0, 1)
-    c_row = ROW * cs + ramp_tot + (csn - cs)        # covered bytes in row r
-    cbr_i = _row_scan_1xr(c_row, R, roll)
-    cbr = jnp.swapaxes(cbr_i - c_row, 0, 1)                 # [R, 1]
-    rowcum = jnp.swapaxes(excl, 0, 1)                       # [R, 1]
-    cs_c = jnp.swapaxes(cs, 0, 1)                           # [R, 1]
+    # in-word prefixes: slot-plane t of the paint is the per-slot event
+    # sum, so P_t is three adds of static lane slices (module docstring)
+    V = [painted[:, t * ROW:(t + 1) * ROW] for t in range(4)]
+    P1 = V[0] + V[1]
+    P2 = P1 + V[2]
+    T = P2 + V[3]                                       # in-word total
+    Pt = [V[0], P1, P2, T]
 
-    cum = rowcum + step
-    cov = cum >= 1
-    sym_exp = ((cum - 1) & 0xFF).astype(jnp.uint8)
+    # carries: in-row prefix via one triangular matmul, cross-row carry
+    # via a [1, R4p] log-step scan
+    TS = jax.lax.dot_general(T, tri, dimension_numbers=mdn,
+                             preferred_element_type=jnp.float32
+                             ).astype(jnp.int32)
+    Ti = T.astype(jnp.int32)
+    rowtot = TS[:, ROW - 1:ROW]                             # [R4p, 1]
+    incl = _row_scan_1xr(jnp.swapaxes(rowtot, 0, 1), R4p, roll)
+    carry = jnp.swapaxes(incl - jnp.swapaxes(rowtot, 0, 1), 0, 1)
+    WC = carry + TS - Ti                    # event-value prefix before word
+    cum = [WC + Pt[t].astype(jnp.int32) for t in range(4)]
+    cov = [c >= 1 for c in cum]
+    sym_t = [(c - 1) & 0xFF for c in cum]
 
-    def write_out(out):
-        # full blocks (the common case) skip the tail mask entirely
-        @pl.when(blen >= R * ROW)
-        def _():
-            out_ref[0] = out
-
-        @pl.when(blen < R * ROW)
-        def _():
-            flat = (jax.lax.broadcasted_iota(jnp.int32, (R, ROW), 0) * ROW
-                    + jax.lax.broadcasted_iota(jnp.int32, (R, ROW), 1))
-            out_ref[0] = jnp.where(flat < blen, out, 0)
-
+    # literal displacement: covered bytes before each word's first byte
+    cnt_w = (cov[0].astype(jnp.int32) + cov[1] + cov[2] + cov[3])
+    CS = jax.lax.dot_general(cnt_w.astype(jnp.bfloat16), tri,
+                             dimension_numbers=mdn,
+                             preferred_element_type=jnp.float32
+                             ).astype(jnp.int32)
+    crt = CS[:, ROW - 1:ROW]
+    cincl = _row_scan_1xr(jnp.swapaxes(crt, 0, 1), R4p, roll)
+    ccarry = jnp.swapaxes(cincl - jnp.swapaxes(crt, 0, 1), 0, 1)
+    d4 = ccarry + CS - cnt_w
     if stage == 2:                     # profiling: no literal movement
-        write_out(sym_exp)
+        write_masked((sym_t[0] | (d4 << 8))[:R4])
         return
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R, ROW), 1)
-    d_lit = cbr + cs_c * lane + ramp               # covered bytes before p
-    lit_exp = shuffle.staircase_pull(
-        lits_ref[0].astype(jnp.int32), d_lit, roll).astype(jnp.uint8)
+    # coarse word route: dq = ceil(d4/4) is a staircase on the word
+    # domain; pull the two straddling source words with one shared bit-walk
+    dq = (d4 + 3) >> 2
+    pad4 = (dq << 2) - d4                                   # (-d4) mod 4
+    litw = litw_ref[g]
+    if R4p != R4:
+        litw = jnp.concatenate(
+            [litw, jnp.zeros((R4p - R4, ROW), jnp.int32)], axis=0)
+    nxt = shuffle.flat_roll(litw, -1, roll)                 # litw[j + 1]
+    wA, wB = _staircase_pull2(litw, nxt, dq, roll)
 
-    write_out(jnp.where(cov, sym_exp, lit_exp))
+    # fine: per-slot funnel extract + run/literal merge
+    out = jnp.zeros((R4p, ROW), jnp.int32)
+    pc = jnp.zeros((R4p, ROW), jnp.int32)
+    for t in range(4):
+        s = t + pad4 - pc                    # source byte offset in wA|wB
+        w = jnp.where(s >= 4, wB, wA)
+        byte = jax.lax.shift_right_logical(w, (s & 3) * 8) & 0xFF
+        m = jnp.where(cov[t], sym_t[t], byte)
+        out = out | (m << (8 * t))
+        pc = pc + cov[t].astype(jnp.int32)
+
+    write_masked(out[:R4])
 
 
 @functools.partial(jax.jit, static_argnames=("block_size", "interpret",
-                                             "stage"))
+                                             "stage", "out_words"))
 def _decode_jit(sym, count, lit_len, lits, n_cmds, n_lits, block_len, *,
-                block_size: int, interpret: bool, stage: int) -> jnp.ndarray:
+                block_size: int, interpret: bool, stage: int,
+                out_words: bool) -> jnp.ndarray:
     nb, C = count.shape
     B = block_size
     R = B // ROW
+    R4 = B // 512
+    R4p = max(-(-R4 // 8) * 8, WR4)
 
     count = count.astype(jnp.int32)
     lit_len = lit_len.astype(jnp.int32)
@@ -356,21 +405,33 @@ def _decode_jit(sym, count, lit_len, lits, n_cmds, n_lits, block_len, *,
     ev, pos, val = _event_stream(sym, count, lit_len, n_cmds)
     E = ev.shape[1]
 
-    lw = lits.shape[1]
-    lits_pad = (lits[:, :R * ROW] if lw >= R * ROW
-                else jnp.pad(lits, ((0, 0), (0, R * ROW - lw))))
-    lits3 = lits_pad.reshape(nb, R, ROW)
+    if lits.dtype == jnp.uint8:
+        # compatibility path (tests, ad-hoc callers): XLA bitcast of the
+        # byte stream; hot paths ship int32 words (lits_to_words) because
+        # this relayout measured 2.8 ms at 64 MiB
+        lw = lits.shape[1]
+        lits_pad = (lits[:, :B] if lw >= B
+                    else jnp.pad(lits, ((0, 0), (0, B - lw))))
+        litw = jax.lax.bitcast_convert_type(
+            lits_pad.reshape(nb, R4 * ROW, 4), jnp.int32)
+    else:
+        assert lits.dtype == jnp.int32, lits.dtype
+        lw = lits.shape[1]
+        litw = (lits[:, :R4 * ROW] if lw >= R4 * ROW
+                else jnp.pad(lits, ((0, 0), (0, R4 * ROW - lw))))
+    litw = litw.reshape(nb, R4, ROW)
 
     # --- stripe bucketing (module docstring): assign every live event to
-    # a column of 128 slots inside its 128-row stripe; dense stripes get
-    # multiple columns, and the budget ns + ceil(E/128) always suffices
+    # a column of 128 slots inside its 128-byte-row stripe; dense stripes
+    # get multiple columns, and the budget ns + ceil(E/128) always suffices
     ns = -(-R // STRIPE)
     NC = ns + -(-E // ROW)
-    live = (pos < R * ROW) & (val != 0)
-    s_i = jnp.where(live, pos >> 14, ns)                     # row // 128
+    live = (pos < B) & (val != 0)
+    s_i = jnp.where(live, pos >> 14, ns).astype(jnp.int32)   # byte row//128
     sb = jnp.arange(ns, dtype=jnp.int32)
-    cnt = jnp.sum((s_i[:, :, None] == sb[None, None, :]).astype(jnp.int32),
-                  axis=1)                                    # [nb, ns]
+    # lane-minor one-hot reduce ([nb, ns, E] with E on the lane axis)
+    cnt = jnp.sum((s_i[:, None, :] == sb[None, :, None]).astype(jnp.int32),
+                  axis=2)                                    # [nb, ns]
     lo = jnp.cumsum(cnt, axis=1) - cnt
     ncols = -(-cnt // ROW)                                   # cols/stripe
     colstart = jnp.cumsum(ncols, axis=1) - ncols             # [nb, ns]
@@ -404,12 +465,11 @@ def _decode_jit(sym, count, lit_len, lits, n_cmds, n_lits, block_len, *,
               - jnp.minimum(ev_idx.reshape(nb, NCK), NCK - 1))
     ev_src = jnp.full((nb, NCK), _PAD_WORD, jnp.int32)
     ev_src = jax.lax.dynamic_update_slice(ev_src, ev[:, :NCK], (0, 0))
-    # stripe start row, 8-aligned with an 8-aligned clip bound (the Mosaic
-    # alignment contract on the kernel's pl.ds; ADVICE r3), packed with
-    # the column's live-slot count
-    Wr = min(STRIPE, R)
-    r0 = jnp.clip(jnp.where(in_use, s_of_c * STRIPE, 0),
-                  0, max((R - Wr) & ~7, 0))
+    # stripe start word-row (32 word rows per stripe), 8-aligned: stripe
+    # starts are multiples of 32 and the padded-plane clip bound R4p-32
+    # is a multiple of 8, so the window always covers the last rows
+    # (ADVICE r4), packed with the column's live-slot count
+    r0 = jnp.clip(jnp.where(in_use, s_of_c * WR4, 0), 0, max(R4p - WR4, 0))
     code = (r0 | (lcnt << 16)).astype(jnp.int32)
 
     # fast-path flags (kernel docstring): all-literal = exactly one
@@ -421,64 +481,89 @@ def _decode_jit(sym, count, lit_len, lits, n_cmds, n_lits, block_len, *,
                & (block_len == B)       # full blocks only: no tail mask
                & (lit_len[:, 0] == 0)
                & (lit_len[:, 1] == 0)).astype(jnp.int32)
-    if R > 1024:                         # branch not emitted (see kernel)
-        all_run = jnp.zeros_like(all_run)
     sym0 = sym[:, 0].astype(jnp.int32)
     meta = (block_len | (all_lit << 20) | (all_run << 21)
             | (jnp.where(all_run == 1, sym0, 0) << 22)).astype(jnp.int32)
 
-    kernel = functools.partial(_decode_body, NC=NC, R=R,
+    # group blocks per grid cell: batches the route pull and amortizes the
+    # latency-bound small-plane scans across G blocks
+    G = 4 if nb >= 4 else 1
+    nbp = -(-nb // G) * G
+    if nbp != nb:
+        padb = nbp - nb
+        # pad blocks decode as all-literal zero-length: one cheap copy
+        meta = jnp.concatenate([meta, jnp.full(padb, 1 << 20, jnp.int32)])
+        code = jnp.pad(code, ((0, padb), (0, 0)))
+        ev_src = jnp.pad(ev_src, ((0, padb), (0, 0)),
+                         constant_values=_PAD_WORD)
+        d_pull = jnp.pad(d_pull, ((0, padb), (0, 0)))
+        litw = jnp.pad(litw, ((0, padb), (0, 0), (0, 0)))
+
+    kernel = functools.partial(_decode_body, NC=NC, R4=R4, R4p=R4p, G=G,
                                interpret=interpret, stage=stage)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nb,),
+        grid=(nbp // G,),
         in_specs=[
-            pl.BlockSpec((1, NC, ROW), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec((1, NC, ROW), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec((1, R, ROW), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((G, NC, ROW), lambda c, *_: (c, 0, 0)),
+            pl.BlockSpec((G, NC, ROW), lambda c, *_: (c, 0, 0)),
+            pl.BlockSpec((G, R4, ROW), lambda c, *_: (c, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, R, ROW), lambda b, *_: (b, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((R, ROW), jnp.bfloat16)] * 4,
+        out_specs=pl.BlockSpec((G, R4, ROW), lambda c, *_: (c, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((R4p, 4 * ROW), jnp.bfloat16)] * 2,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, R, ROW), jnp.uint8),
-        # the staircase keeps several [R, 128] i32 planes live at once; the
+        out_shape=jax.ShapeDtypeStruct((nbp, R4, ROW), jnp.int32),
+        # the pulls keep several [R4, 128] i32 planes live at once; the
         # default 16 MiB scoped-vmem cap is too tight at large blocks
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(code, meta, ev_src.reshape(nb, NC, ROW),
-      d_pull.reshape(nb, NC, ROW), lits3)
-    return out.reshape(nb, B)
+    )(code, meta, ev_src.reshape(nbp, NC, ROW),
+      d_pull.reshape(nbp, NC, ROW), litw)
+    out = out[:nb].reshape(nb, R4 * ROW)
+    if out_words:
+        return out
+    outb = jax.lax.bitcast_convert_type(
+        out.reshape(nb, R4 * ROW, 1), jnp.uint8)    # compat path: bytes
+    return outb.reshape(nb, B)
 
 
 def decode_columns_device(sym, count, lit_len, lits, n_cmds, n_lits,
                           block_len, *, block_size: int,
                           interpret: bool = False,
-                          stage: int = 3) -> jnp.ndarray:
-    """Planar columns (device arrays) -> decoded [nb, block_size] uint8.
+                          stage: int = 3,
+                          out_words: bool = False) -> jnp.ndarray:
+    """Planar columns (device arrays) -> decoded [nb, block_size] uint8
+    (or [nb, block_size/4] int32 words with ``out_words``, the hot-path
+    form whose byte view is free on the host -- words_to_bytes).
 
-    One grid cell per block; see the module docstring.  ``stage`` is a
-    profiling knob (0 = prep/IO, 1 = +route+paint, 2 = +carries, 3 = full
-    decode)."""
+    ``lits`` may be [nb, L] uint8 (compatibility; converted with an XLA
+    bitcast) or [nb, L/4] int32 words (hot path; see lits_to_words).
+    ``stage`` is a profiling knob (0 = prep/IO, 1 = +route+paint,
+    2 = +prefixes+carries, 3 = full decode)."""
     B = block_size
     assert B <= MAX_BLOCK, (B, MAX_BLOCK)
-    assert B % ROW == 0, B
+    # stripe windows are 8-aligned; see fits_kernel (ADVICE r4)
+    assert B % (8 * ROW) == 0, B
     return _decode_jit(sym, count, lit_len, lits, n_cmds, n_lits, block_len,
                        block_size=block_size, interpret=interpret,
-                       stage=stage)
+                       stage=stage, out_words=out_words)
 
 
 def decode_planar_sup(sym, count, lit_len, lits, n_cmds, n_lits, block_len,
                       *, block_size: int, interpret: bool = False):
     """Host-array convenience wrapper around the device entry point."""
+    lits = np.asarray(lits, np.uint8)
+    litw = (lits_to_words(lits) if lits.ndim == 2 and lits.shape[1] % 4 == 0
+            else lits)
     return decode_columns_device(
         jnp.asarray(np.asarray(sym, np.uint8)),
         jnp.asarray(np.asarray(count, np.int32)),
         jnp.asarray(np.asarray(lit_len, np.int32)),
-        jnp.asarray(np.asarray(lits, np.uint8)),
+        jnp.asarray(litw),
         jnp.asarray(np.asarray(n_cmds, np.int32)),
         jnp.asarray(np.asarray(n_lits, np.int32)),
         jnp.asarray(np.asarray(block_len, np.int32)),

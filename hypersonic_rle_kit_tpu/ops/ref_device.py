@@ -519,7 +519,9 @@ def decompress_ref_device(buf, codec, *, block_size: int = DEFAULT_BLOCK,
     if usize == 0:
         return b""
     m = -(-usize // s)
-    B = min(block_size, max(_ROW, -(-m // _ROW) * _ROW))
+    # 1024-multiple blocks keep R = B/128 a multiple of 8 so short streams
+    # still satisfy fits_kernel's stripe-alignment contract (ADVICE r4)
+    B = min(block_size, max(8 * _ROW, -(-m // (8 * _ROW)) * 8 * _ROW))
     # native grammar walk (csrc ref_parse_planar, ~40x the Python
     # iterators); identical planar output, pinned by test_ref_device.py
     cols = nbp = None

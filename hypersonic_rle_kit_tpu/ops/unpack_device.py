@@ -64,11 +64,12 @@ def _unpack_wide(packed: jnp.ndarray, width: int, n: int) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=(
     "cnt_bits", "lit_bits", "capacity", "block_size", "min_count",
-    "interpret"))
+    "interpret", "out_words"))
 def decode_payload_device(cnts_raw, lls_raw, syms, lits, n_cmds, n_lits,
                           block_len, *, cnt_bits: int, lit_bits: int,
                           capacity: int, block_size: int, min_count: int,
-                          interpret: bool = False) -> jnp.ndarray:
+                          interpret: bool = False,
+                          out_words: bool = False) -> jnp.ndarray:
     """Payload sections (device arrays) -> decoded [nb, block_size] uint8.
 
     One jit: on-device bit-unpack of the command columns followed by the
@@ -84,7 +85,7 @@ def decode_payload_device(cnts_raw, lls_raw, syms, lits, n_cmds, n_lits,
     return decode_sup.decode_columns_device(
         syms, count, lit_len, lits, n_cmds, n_lits.astype(jnp.int32),
         block_len.astype(jnp.int32), block_size=block_size,
-        interpret=interpret)
+        interpret=interpret, out_words=out_words)
 
 
 def _compact_pull(compact: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -209,19 +210,26 @@ def _resolve_deep(cnt_vals, cnt_ovf, ll_vals, ll_ovf, lut, miss, dict7,
 
 @functools.partial(jax.jit, static_argnames=(
     "cnt_bits", "lit_bits", "cnt_ovf_bits", "ll_ovf_bits",
-    "capacity", "block_size", "min_count", "interpret"))
+    "capacity", "block_size", "min_count", "interpret", "out_words"))
 def decode_deep_device(cnts_raw, cnt_ovf_raw, lls_raw, ll_ovf_raw,
                        lut_raw, miss_raw, dict7, lits,
-                       n_cmds, n_lits, block_len, *,
+                       n_cmds, n_lits, block_len,
+                       n_cnt_ovf=None, n_ll_ovf=None, n_miss=None, *,
                        cnt_bits: int, lit_bits: int, cnt_ovf_bits: int,
                        ll_ovf_bits: int, capacity: int, block_size: int,
-                       min_count: int, interpret: bool = False):
-    """Deep-layout payload sections -> decoded bytes, one jit.
+                       min_count: int, interpret: bool = False,
+                       out_words: bool = False):
+    """Deep-layout payload sections -> (decoded bytes, bad flags), one jit.
 
     Resolves the two-tier count/lit_len escapes and the symbol-miss
     stream with a batched VMEM-resident Pallas resolver (gather-free
     compact pulls; the parallel analog of the reference's MTF LUT decode,
-    rleX_Xsl_short.h:2201-2424), then runs the flagship decode kernel."""
+    rleX_Xsl_short.h:2201-2424), then runs the flagship decode kernel.
+
+    ``bad[b] != 0`` marks a block whose stored sub-header escape/miss
+    counts disagree with the actual escape population (a hostile
+    container); callers must re-route such input to the validating host
+    reader, which raises ContainerError (ADVICE r4)."""
     cap = capacity
     n_cmds = n_cmds.astype(jnp.int32)
     cnt_vals = _unpack_wide(cnts_raw, cnt_bits, cap)
@@ -229,46 +237,82 @@ def decode_deep_device(cnts_raw, cnt_ovf_raw, lls_raw, ll_ovf_raw,
     ll_vals = _unpack_wide(lls_raw, lit_bits, cap)
     lov_vals = _unpack_wide(ll_ovf_raw, ll_ovf_bits, cap)
     lut = _unpack_wide(lut_raw, 3, cap)
+    idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    is_run = idx < n_cmds[:, None] - 1
+    is_cmd = idx < n_cmds[:, None]
+    bad = jnp.zeros(n_cmds.shape[0], jnp.int32)
+    if n_cnt_ovf is not None and cnt_bits:
+        actual = jnp.sum((is_run & (cnt_vals == (1 << cnt_bits) - 1))
+                         .astype(jnp.int32), axis=1)
+        bad = bad | (actual != n_cnt_ovf.astype(jnp.int32)).astype(jnp.int32)
+    if n_ll_ovf is not None and lit_bits:
+        actual = jnp.sum((is_cmd & (ll_vals == (1 << lit_bits) - 1))
+                         .astype(jnp.int32), axis=1)
+        bad = bad | (actual != n_ll_ovf.astype(jnp.int32)).astype(jnp.int32)
+    if n_miss is not None:
+        actual = jnp.sum((is_run & (lut == 0)).astype(jnp.int32), axis=1)
+        bad = bad | (actual != n_miss.astype(jnp.int32)).astype(jnp.int32)
     count, lit_len, sym = _resolve_deep(
         cnt_vals, cov_vals, ll_vals, lov_vals, lut,
         miss_raw.astype(jnp.int32), dict7, n_cmds, cap=cap,
         cnt_bits=cnt_bits if cnt_ovf_bits else 0,
         lit_bits=lit_bits if ll_ovf_bits else 0,
         min_count=min_count, interpret=interpret)
-    return decode_sup.decode_columns_device(
+    out = decode_sup.decode_columns_device(
         sym.astype(jnp.uint8), count, lit_len, lits, n_cmds,
         n_lits.astype(jnp.int32), block_len.astype(jnp.int32),
-        block_size=block_size, interpret=interpret)
+        block_size=block_size, interpret=interpret, out_words=out_words)
+    return out, bad
 
 
 SECTION_KEYS = ("cnts_raw", "lls_raw", "syms", "lits", "cnt_ovf_raw",
                 "ll_ovf_raw", "lut_raw", "miss_raw", "dict7",
-                "n_cmds", "n_lits", "block_len")
+                "n_cmds", "n_lits", "block_len",
+                "n_cnt_ovf", "n_ll_ovf", "n_miss")
 
 
-def dispatch_packed(pk: dict, arrs: dict, *, interpret: bool = False):
+def dispatch_packed(pk: dict, arrs: dict, *, interpret: bool = False,
+                    with_flags: bool = False, out_words: bool = False):
     """Run the right device decode for a pack_for_device dict whose array
     members (``SECTION_KEYS`` subset) have already been device_put into
-    ``arrs``.  Returns the device array (no host fetch)."""
+    ``arrs``.  Returns the device array (no host fetch); with
+    ``with_flags`` returns ``(out, bad)`` where ``bad`` is the deep
+    layout's per-block sub-header-mismatch flag vector (None for flat
+    containers, which carry no redundant counts to validate)."""
     if pk["info"].deep:
-        return decode_deep_device(
+        out, bad = decode_deep_device(
             arrs["cnts_raw"], arrs["cnt_ovf_raw"],
             arrs["lls_raw"], arrs["ll_ovf_raw"],
             arrs["lut_raw"], arrs["miss_raw"], arrs["dict7"], arrs["lits"],
             arrs["n_cmds"], arrs["n_lits"], arrs["block_len"],
+            arrs.get("n_cnt_ovf"), arrs.get("n_ll_ovf"), arrs.get("n_miss"),
             cnt_bits=pk["cnt_bits"], lit_bits=pk["lit_bits"],
             cnt_ovf_bits=pk["cnt_ovf_bits"], ll_ovf_bits=pk["ll_ovf_bits"],
             capacity=pk["capacity"], block_size=pk["info"].block_size,
-            min_count=pk["info"].min_count, interpret=interpret)
-    return decode_payload_device(
+            min_count=pk["info"].min_count, interpret=interpret,
+            out_words=out_words)
+        return (out, bad) if with_flags else out
+    out = decode_payload_device(
         arrs["cnts_raw"], arrs["lls_raw"], arrs["syms"], arrs["lits"],
         arrs["n_cmds"], arrs["n_lits"], arrs["block_len"],
         cnt_bits=pk["cnt_bits"], lit_bits=pk["lit_bits"],
         capacity=pk["capacity"], block_size=pk["info"].block_size,
-        min_count=pk["info"].min_count, interpret=interpret)
+        min_count=pk["info"].min_count, interpret=interpret,
+        out_words=out_words)
+    return (out, None) if with_flags else out
 
 
 def decode_packed(pk: dict, *, interpret: bool = False) -> np.ndarray:
-    """Convenience host wrapper: pack_for_device dict -> [nb, B] bytes."""
+    """Convenience host wrapper: pack_for_device dict -> [nb, B] bytes.
+
+    Raises ContainerError when the deep sub-header counts disagree with
+    the actual escape population (hostile input, ADVICE r4)."""
+    from ..parallel import container
     arrs = {k: jnp.asarray(pk[k]) for k in SECTION_KEYS if k in pk}
-    return np.asarray(dispatch_packed(pk, arrs, interpret=interpret))
+    out, bad = dispatch_packed(pk, arrs, interpret=interpret,
+                               with_flags=True)
+    if bad is not None and bool(np.asarray(jnp.any(bad != 0))):
+        raise container.ContainerError(
+            "deep block: sub-header escape/miss counts disagree with the "
+            "escape population")
+    return np.asarray(out)

@@ -348,7 +348,17 @@ def pack_for_device(buf: bytes, parsed=None):
         dict7 = np.zeros((nb, 7), np.uint8)
         out.update(cnt_ovf_bits=cob, ll_ovf_bits=lob,
                    cnt_ovf_raw=cnt_ovf_raw, ll_ovf_raw=ll_ovf_raw,
-                   lut_raw=lut_raw, miss_raw=miss_raw, dict7=dict7)
+                   lut_raw=lut_raw, miss_raw=miss_raw, dict7=dict7,
+                   # stored sub-header counts, shipped so the device can
+                   # validate them against the actual escape/miss
+                   # population (ADVICE r4: hostile deep containers must
+                   # not decode to silently wrong bytes on the kernel path)
+                   n_cnt_ovf=np.array([bl["n_cnt_ovf"] for bl in blocks],
+                                      np.int32),
+                   n_ll_ovf=np.array([bl["n_ll_ovf"] for bl in blocks],
+                                     np.int32),
+                   n_miss=np.array([bl["n_miss"] for bl in blocks],
+                                   np.int32))
         for b, bl in enumerate(blocks):
             nc, nl = bl["n_cmds"], bl["n_lits"]
             p = bl["payload_off"]
@@ -381,6 +391,10 @@ def pack_for_device(buf: bytes, parsed=None):
     block_len = np.full(nb, B, np.int32)
     block_len[-1] = info.uncompressed_size - (nb - 1) * B
     out["block_len"] = block_len
+    # the decode kernel consumes literals as int32 words; the view is a
+    # zero-copy host reinterpretation (decode_sup.lits_to_words) and
+    # avoids the measured-2.8ms-per-64MiB XLA byte->word bitcast
+    out["lits"] = lits.view(np.int32)
     return out
 
 

@@ -53,13 +53,14 @@ def main():
     cap_used = max(128, 1 << (used - 1).bit_length())
     dev = [jax.device_put(jnp.asarray(v)) for v in
            (pc[0][:, :cap_used], pc[1][:, :cap_used], pc[2][:, :cap_used],
-            pc[3], pc[4], pc[5], pc[6])]
+            decode_sup.lits_to_words(pc[3]), pc[4], pc[5], pc[6])]
     print(f"backend={jax.default_backend()} nb={nb} block={block} "
           f"cap={cap_used} ratio={len(blob)/n:.4f} "
           f"ncmds mean={pc[4].mean():.0f} max={used}", file=sys.stderr)
 
-    xd = jax.device_put(jnp.asarray(x))
-    out = decode_sup.decode_columns_device(*dev, block_size=block)
+    xd = jax.device_put(jnp.asarray(np.ascontiguousarray(x).view(np.int32)))
+    out = decode_sup.decode_columns_device(*dev, block_size=block,
+                                           out_words=True)
     ok = bool(np.asarray(jax.jit(lambda a, b: jnp.all(a == b))(out, xd)))
     print(f"roundtrip={ok}", file=sys.stderr)
 
@@ -67,7 +68,7 @@ def main():
     for st in [int(s) for s in args.stages.split(",")]:
         def run(st=st):
             return decode_sup.decode_columns_device(
-                *dev, block_size=block, stage=st)
+                *dev, block_size=block, stage=st, out_words=True)
         r = run()
         _ = np.asarray(r[0, :1])    # compile
         t = bench._timed_chain(run, lambda r: np.asarray(r[0, :1]),

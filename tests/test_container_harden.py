@@ -65,6 +65,46 @@ def test_native_numpy_unpack_agree(blob):
         np.testing.assert_array_equal(x, y)
 
 
+def test_deep_subheader_count_mismatch_rejected():
+    """A parse-valid deep container whose lut section implies a different
+    miss population than the stored n_miss must raise ContainerError on
+    every backend -- including the kernel path, whose device resolver
+    validates the counts it would otherwise trust (ADVICE r4)."""
+    rng = np.random.default_rng(11)
+    data = np.zeros(300_000, np.uint8)
+    # many distinct run symbols so the block dictionary has misses and hits
+    pos = 0
+    k = 0
+    while pos < data.size - 400:
+        run = int(rng.integers(8, 60))
+        data[pos:pos + run] = k % 251
+        k += 1
+        pos += run + int(rng.integers(0, 6))
+    blob = api.compress(data.tobytes())
+    info, blocks = container.parse(blob)
+    if not info.deep:
+        pytest.skip("serializer picked the flat layout for this input")
+    bl = blocks[0]
+    offs, sizes = container._deep_sections(bl, bl["n_cmds"], bl["n_lits"])
+    lut_off, lut_sz = offs[4], sizes[4]
+    assert lut_sz > 0 and bl["n_miss"] < bl["n_cmds"] - 1
+    buf = bytearray(blob)
+    p = bl["payload_off"] + lut_off
+    # zero the whole lut section: every run symbol becomes a miss, so the
+    # actual miss population now exceeds the stored n_miss
+    for i in range(lut_sz):
+        buf[p + i] = 0
+    hostile = bytes(buf)
+    container.parse(hostile)          # still structurally valid
+    pk = container.pack_for_device(hostile)
+    assert pk is not None
+    from hypersonic_rle_kit_tpu.ops import unpack_device
+    with pytest.raises(container.ContainerError):
+        unpack_device.decode_packed(pk, interpret=True)
+    with pytest.raises(container.ContainerError):
+        api.decompress(hostile, backend="kernel")
+
+
 def test_pack_for_device_uniform_and_fallback():
     """serialize_blocks emits container-uniform bit widths by default, so
     pack_for_device slices sections for the device unpack; per-block-width

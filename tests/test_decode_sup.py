@@ -58,6 +58,23 @@ def test_small_block():
     _roundtrip(list(data), [BB, BB], BB)
 
 
+def test_unaligned_stripe_geometry_rejected():
+    """block sizes whose R = B/128 is not a multiple of 8 mis-align the
+    stripe paint window (ADVICE r4: silent corruption at B=16640); the
+    kernel must refuse them and the api must route them to XLA."""
+    BB = 16640                         # R = 130, not a multiple of 8
+    assert not decode_sup.fits_kernel(BB, 128)
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 3, (1, BB)).astype(np.uint8)
+    with pytest.raises(AssertionError):
+        _roundtrip(list(data), [BB], BB)
+
+    from hypersonic_rle_kit_tpu import api
+    raw = data.reshape(-1).tobytes()
+    blob = api.compress(raw, block_size=BB)
+    assert api.decompress(blob, backend="kernel") == raw
+
+
 @pytest.mark.parametrize("case", [
     "whole_run", "run_ends_at_bnd", "run_starts_at_bnd", "adjacent_runs",
     "empty", "tiny", "dense_min_runs", "tail_run"])
