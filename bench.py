@@ -199,16 +199,16 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
     log(f"host section pack (memcpy only): {results['host_pack_gbps']:.2f} "
         f"GB/s of decoded size ({payload_bytes >> 20} MiB shipped)")
 
-    # --- H2D, measured on the O(compressed) payload sections ---
+    # --- H2D, measured on the O(compressed) payload sections: two
+    # concatenated buffers + on-device slicing (unpack_device.ship_packed)
     t0 = time.perf_counter()
-    dpk = {k: jax.device_put(jnp.asarray(pk[k]))
-           for k in unpack_device.SECTION_KEYS if k in pk}
+    dpk = unpack_device.ship_packed(pk)
     _ = np.asarray(dpk["lits"][:1, :1])
     h2d_t = time.perf_counter() - t0
     results["h2d_gbps"] = n / h2d_t / 1e9
     results["h2d_payload_gbps"] = payload_bytes / h2d_t / 1e9
-    log(f"H2D (payload sections, {payload_bytes >> 20} MiB): "
-        f"{results['h2d_payload_gbps']:.2f} GB/s of payload = "
+    log(f"H2D (payload sections, {payload_bytes >> 20} MiB, one buffer "
+        f"per dtype): {results['h2d_payload_gbps']:.2f} GB/s of payload = "
         f"{results['h2d_gbps']:.2f} GB/s of decoded size")
 
     # --- headline: payload sections (HBM) -> bytes (HBM), one jit
@@ -240,6 +240,28 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
     log(f"decode (payload HBM -> bytes HBM, incl device unpack): "
         f"{dec_t * 1e3:.2f} ms = {results['gbps']:.2f} GB/s  "
         f"(reference x86: {BASELINE_DECODE_GBPS} GB/s)")
+
+    # --- flat-layout headline pair: price depth vs speed (VERDICT r4 #6)
+    try:
+        blob_f = container.serialize_blocks(0, n, block, 6, *cols,
+                                            deep=False)
+        results["ratio_flat"] = len(blob_f) / n
+        pkf = container.pack_for_device(blob_f)
+        dpkf = unpack_device.ship_packed(pkf)
+
+        def dec_f():
+            return unpack_device.dispatch_packed(pkf, dpkf, out_words=True)
+        outf = dec_f()
+        okf = bool(np.asarray(jax.jit(lambda a, b: jnp.all(a == b))(outf,
+                                                                    xd)))
+        tf = _timed_chain(dec_f, lambda r: np.asarray(r[0, :1]),
+                          max(3, iters // 2), chain, fetch)
+        results["decode_flat_gbps"] = n / tf / 1e9 if okf else 0.0
+        log(f"decode flat layout: {results['decode_flat_gbps']:.2f} GB/s "
+            f"(ratio {100 * results['ratio_flat']:.2f}%) roundtrip={okf}; "
+            f"deep layout pays its resolver on the headline row")
+    except Exception as exc:
+        log(f"flat headline pair failed: {exc!r}")
 
     used = int(n_cmds.max())
     cap_used = max(128, -(-used // 128) * 128)
@@ -285,8 +307,7 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
     # --- e2e: blob on host -> bytes in HBM (pack + H2D + device decode) ---
     t0 = time.perf_counter()
     pk2 = container.pack_for_device(blob)
-    dpk2 = {k: jax.device_put(jnp.asarray(pk2[k]))
-            for k in unpack_device.SECTION_KEYS if k in pk2}
+    dpk2 = unpack_device.ship_packed(pk2)
     out2 = unpack_device.dispatch_packed(pk2, dpk2, out_words=True)
     _ = np.asarray(out2[0, :1])
     e2e = n / (time.perf_counter() - t0 - fetch) / 1e9
@@ -380,8 +401,7 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
             Bw = info_w.block_size
             nbw = info_w.n_blocks
             tlen = pkw["block_len"]
-            dw = {k: jax.device_put(jnp.asarray(pkw[k]))
-                  for k in unpack_device.SECTION_KEYS if k in pkw}
+            dw = unpack_device.ship_packed(pkw)
 
             def dec_w():
                 yd = unpack_device.dispatch_packed(pkw, dw)
@@ -491,6 +511,7 @@ def main():
                   "h2d_payload_gbps", "host_pack_gbps",
                   "decode_columns_gbps", "decode_e2e_gbps",
                   "encode_host_gbps", "ratio",
+                  "ratio_flat", "decode_flat_gbps",
                   "ratio_random", "decode_random_gbps",
                   "ratio_bwt", "decode_bwt_gbps",
                   "ratio_w64", "decode_w64_gbps", "ref_ingest_gbps",

@@ -268,14 +268,20 @@ def decompress(buf, *, backend: str = "auto") -> bytes:
         interp = jax.default_backend() != "tpu"
         cap_est = max((bl["n_cmds"] for bl in blocks), default=1)
         cap_est = -(-cap_est // 128) * 128
-        if decode_sup.fits_kernel(info.block_size, cap_est):
+        # min_count >= 4 guarantees at most one run start and one run end
+        # per output word -- the kernel's boundary-descriptor contract
+        # (decode_sup module docstring); hostile containers advertising a
+        # smaller min_count take the XLA decoder
+        if info.min_count >= 4 and decode_sup.fits_kernel(
+                info.block_size, cap_est):
             # O(compressed) device path: ship payload sections, bit-unpack
             # the command columns on-device (ops/unpack_device.py)
             pk = container.pack_for_device(buf, parsed=(info, blocks))
             if pk is not None:
                 pk["block_len"] = tlen
-                arrs = {k: jnp.asarray(pk[k])
-                        for k in unpack_device.SECTION_KEYS if k in pk}
+                # one concatenated transfer per dtype + on-device slicing
+                # (12 separate puts paid ~12 tunnel syncs; VERDICT r4)
+                arrs = unpack_device.ship_packed(pk)
                 try:
                     # width-1 codecs take the words form: the byte view
                     # of the int32 output is free on the host

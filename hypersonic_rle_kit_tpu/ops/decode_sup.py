@@ -1,6 +1,5 @@
-"""Flagship decode kernel: stripe-bucketed event paint in word-major
-coordinates + word-packed (4-bytes-per-lane) expansion, O(compressed)
-device input everywhere.
+"""Flagship decode kernel: stripe-bucketed boundary-descriptor paint +
+word-packed (4-bytes-per-lane) expansion, O(compressed) device input.
 
 The whole pipeline is one jit:
 
@@ -33,39 +32,53 @@ of 8.6 ms at 64 MiB.  Here output *word* q holds bytes 4q..4q+3 as a
 1. **route**: staircase-pull events into stripe-bucketed columns
    (ops/shuffle.staircase_pull on the event plane), batched over the grid
    cell's block group.
-2. **paint, word-major**: per column, one one-hot *value* matrix over a
-   512-lane axis (4 byte slots x 128 word lanes) contracted against a
-   one-hot word-row match, accumulated into the column's 32-word-row
-   stripe window of a [R4, 512] plane.  Slot-plane t of the accumulator
-   IS the per-slot event paint, so the in-word prefixes P_t are three
-   lane-slice adds -- no byte->word repacking exists anywhere.  (The
-   first r5 formulation painted byte-major and resampled via sixteen
-   [R4,128]x[128,128] matmuls: measured 8.5 ms -- small-matmul issue
-   latency dominates; fusing to 4 matmuls still cost 2.1 ms.  Painting
-   word-major makes the cost identical to r4's single value paint.)
-   The r4 kernel also painted a parallel *weight* plane to derive
-   literal displacements; the packed formulation derives them from
-   coverage bits instead, halving paint matmuls and accumulator traffic.
-3. **carries**: per-word in-row prefix via one triangular [128,128]
-   matmul on the word totals, cross-row carry via a [1, R4] log-step
-   scan (4x shorter than the r4 [1, R] scans); ``cum_t = carry + P_t``,
-   coverage ``cov_t = cum_t >= 1``, run bytes ``sym_t = (cum_t-1) & 0xFF``.
-4. **literals**: displacement ``d4`` (covered bytes before each word)
-   comes from a second triangular-matmul scan over per-word coverage
-   counts; ``dq = ceil(d4/4)`` is again a staircase on the *word* domain,
-   so two shared-compare staircase pulls fetch the two source words
-   straddling every destination word, and a 4-slot funnel extract
-   (variable in-word shifts -- Mosaic has full i32 vector shifts) places
-   each literal byte.  This replaces the r4 byte-plane staircase
-   (log2(B) levels over [R, 128] planes) with log2(B/4) levels over
-   [R/4, 128]: measured 0.66 ms vs 2.83 ms on the bench geometry.
-   Verified against a brute-force model over 200 randomized geometries
-   before porting.
+2. **paint, two word-level channels**: per column of <=128 events, a
+   one-hot lane matrix contracted against a one-hot word-row match over
+   the column's 128-word-row (64 KiB) stripe window -- full [128,128,128]
+   MXU tiles, no M/N padding -- accumulated into
+     T: signed event values summed per word, and
+     D: a boundary descriptor (open slot + 1) + 8 * (close slot + 1).
+   Because every emitted run spans >= 4 bytes (the kernel's *min-run
+   contract*, enforced by api/ref_device callers), run starts are >= 4
+   apart and run ends are >= 4 apart, so **at most one open and one close
+   land in any word** and D decodes unambiguously.  (The first r5
+   formulation painted per-byte-slot planes over 512 lanes: the M=32
+   window wasted 3/4 of the MXU and the 512-lane one-hot build cost ~4x;
+   an alternative that resampled byte-major paint through sixteen
+   [R4,128]x[128,128] matmuls measured 8.5 ms of matmul-issue latency.)
+3. **carries**: in-row prefix of T via one triangular matmul (G blocks
+   stacked along M), cross-row carry via [G, 1, R4] log-step scans ->
+   ``WC`` = event-value prefix before each word; a running value >= 1
+   means the word starts inside a run of symbol ``WC - 1``.
+4. **SWAR word decode**: per-word coverage is two *contiguous* nibble
+   masks (incoming-run prefix [0, tc), new-run suffix [to, 4)) resolved
+   from D by 4-bit shift-LUT constants; the literal bytes of a word are
+   one contiguous stream window, so after the coarse pull a **single
+   funnel shift** places them, and the output word is assembled with
+   nibble->byte mask expansion (shift/add forms only -- 32-bit vector
+   multiplies are multi-op on the VPU).  Verified against a brute-force
+   model over 300 randomized geometries before porting.
+5. **literal coarse route**: displacement ``d4`` (covered bytes before
+   each word) comes from a second triangular-matmul scan over per-word
+   coverage counts; ``dq = ceil(d4/4)`` is again a staircase on the
+   *word* domain, so two shared-compare staircase pulls fetch the two
+   source words straddling every destination word.  This replaces the r4
+   byte-plane staircase (log2(B) levels over [R, 128] planes) with
+   log2(B/4) levels over [R/4, 128] planes: measured 0.9 ms vs 2.83 ms
+   on the bench geometry.
 
-Literal input is likewise consumed as int32 words ([4 bytes/lane]); the
+Literal input is likewise consumed as int32 words (4 bytes/lane); the
 host section slice is reinterpreted for free (np view).  XLA-side
 ``bitcast_convert_type`` was measured at 1.7-2.8 ms per direction at
 64 MiB (minor-dim-4 relayouts) and is avoided on every hot path.
+
+The paint loop runs as a fori_loop over 8-column groups: the r4/early-r5
+full unroll of G x NC column bodies compiled for 17-78 s and capped
+MAX_COLUMNS (VERDICT r4 #7); a fully-rolled per-pair loop lost cross-
+column software pipelining (paint 3.3 -> 8.4 ms), so each step unrolls 8
+columns with static rotating-accumulator targets, and empty columns
+(capacity padding, sparse blocks) skip all painting work via one scalar
+guard.
 
 Exactness: every per-cell partial sum of event values lies in
 [-256, 256] (runs are disjoint), so bf16 matmul inputs are exact and f32
@@ -76,6 +89,7 @@ prefix (<= 512) is exact in f32.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -92,25 +106,31 @@ _VAL_OFF = 256
 _PAD_POS = 1 << 20          # > any block position; (PAD_POS << 10) < 2^31
 MAX_BLOCK = 1 << 19         # pos field must stay below _PAD_POS
 _PAD_WORD = (_PAD_POS << _POS_SHIFT) | _VAL_OFF
-STRIPE = 128                # byte rows per stripe = 32 word rows
-WR4 = 32                    # paint window height in word rows
-MAX_COLUMNS = 256           # event-column budget: beyond this the unrolled
-                            # paint loop exceeds the chip's VMEM/compile
-                            # budget; callers route denser blocks to XLA
+WQ = int(_os.environ.get("HSRK_DECODE_WQ", "128"))  # paint window word rows
+STRIPE_BYTES = WQ * 512     # bytes per stripe
+MAX_COLUMNS = 512           # event-column budget (VMEM for the event
+                            # scratch); callers route denser blocks to XLA
+_GROUP = int(_os.environ.get("HSRK_DECODE_G", "4"))   # blocks per grid cell
+_UNROLL = int(_os.environ.get("HSRK_DECODE_UNROLL", "16"))  # columns/step
+MIN_RUN = 4                 # the boundary-descriptor min-run contract
 
 
 def fits_kernel(block_size: int, capacity: int) -> bool:
-    """Whether the fully-unrolled kernel is compilable for this geometry
-    (block small enough, event-column count within MAX_COLUMNS).
+    """Whether the kernel supports this geometry (block small enough,
+    event-column count within MAX_COLUMNS).
 
     ``block_size % 1024``: stripe paint windows are 8-aligned (the Mosaic
     alignment contract on pl.ds) and accumulator planes are padded to
     8-row multiples, so R4 = block_size/512 must divide evenly into the
     padded plane (ADVICE r4: silent corruption at e.g. block_size=16640);
-    other geometries take the XLA decoder instead."""
+    other geometries take the XLA decoder instead.
+
+    Callers must also guarantee the min-run contract: every emitted run
+    spans >= MIN_RUN bytes (HRT1 containers enforce min_count >= 4;
+    ref_device checks parsed counts)."""
     if block_size % (8 * ROW) or block_size > MAX_BLOCK:
         return False
-    ns = -(-(block_size // ROW) // STRIPE)
+    ns = -(-block_size // STRIPE_BYTES)
     nc = ns + -(-2 * capacity // ROW)
     return nc <= MAX_COLUMNS
 
@@ -196,8 +216,9 @@ def _staircase_pull2(a, b, d, roll):
     return a, b
 
 
-def _decode_body(code_ref, meta_ref, ev_ref, dp_ref, litw_ref,
-                 out_ref, accv_ref, accv2_ref,
+def _decode_body(code_ref, meta_ref, ucols_ref, ev_ref, dp_ref, litw_ref,
+                 out_ref, accT_ref, accT2_ref, accD_ref, accD2_ref,
+                 evs_ref,
                  *, NC: int, R4: int, R4p: int, G: int, interpret: bool,
                  stage: int = 3):
     """Whole-group body: grid = (nb / G,); see the module docstring.
@@ -213,9 +234,8 @@ def _decode_body(code_ref, meta_ref, ev_ref, dp_ref, litw_ref,
     B = R4 * 4 * ROW
 
     # hoisted constants (shared by every block of the group)
-    lane512 = jax.lax.broadcasted_iota(jnp.int32, (ROW, 4 * ROW), 1)
     subl128 = jax.lax.broadcasted_iota(jnp.int32, (ROW, 1), 0)
-    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (ROW, WR4), 1)
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (ROW, WQ), 1)
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (ROW, ROW), 1)
     li = jax.lax.broadcasted_iota(jnp.int32, (ROW, ROW), 0)
     tri = (lane128 >= li).astype(jnp.bfloat16)          # in-row prefix
@@ -223,13 +243,158 @@ def _decode_body(code_ref, meta_ref, ev_ref, dp_ref, litw_ref,
     mdn = (((1,), (0,)), ((), ()))
     flatw = (jax.lax.broadcasted_iota(jnp.int32, (R4, ROW), 0) * ROW
              + jax.lax.broadcasted_iota(jnp.int32, (R4, ROW), 1))
-    consts = (lane512, subl128, rows_iota, tri, dn, mdn, flatw)
+
+    for a in (accT_ref, accT2_ref, accD_ref, accD2_ref):
+        a[...] = jnp.zeros((G, R4p, ROW), jnp.bfloat16)
+
+    if stage == 0:                     # profiling: prep + launch + IO only
+        for g in range(G):
+            out_ref[g] = jnp.full((R4, ROW), meta_ref[cell * G + g],
+                                  jnp.int32)
+        return
 
     # route all G blocks' events in one batched pull (amortizes the
     # latency-bound small-plane ops across the group)
-    if stage >= 1:
-        routed_all = shuffle.staircase_pull(ev_ref[...], dp_ref[...], roll)
+    evs_ref[...] = shuffle.staircase_pull(ev_ref[...], dp_ref[...], roll)
 
+    # ---- per-block paint: two word-level channels (module docstring) ----
+    for g in range(G):
+        b = cell * G + g
+
+        def _paint_col(accT, accD, c, g=g, b=b):
+            cp = code_ref[b, c]
+            r0 = pl.multiple_of(cp & 0xFFFF, 8)  # stripe start word-row
+            lcnt = cp >> 16                      # live slots in the column
+
+            e = jnp.swapaxes(evs_ref[g, pl.ds(c, 1), :], 0, 1)
+            pos_c = jax.lax.shift_right_logical(e, _POS_SHIFT)
+            live = (pos_c < B) & (subl128 < lcnt)
+            vraw = jnp.where(live, (e & _VAL_MASK) - _VAL_OFF, 0)
+            slot_c = pos_c & 3
+            rowq_c = pos_c >> 9
+            lane_c = (pos_c >> 2) & 127
+            desc = jnp.where(vraw > 0, slot_c + 1,
+                             jnp.where(vraw < 0, (slot_c + 1) * 8, 0))
+
+            oh = (lane128 == lane_c).astype(jnp.bfloat16)  # [128, 128]
+            bvT = oh * vraw.astype(jnp.bfloat16)
+            bvD = oh * desc.astype(jnp.bfloat16)
+            rowm = (rowq_c - r0 == rows_iota).astype(jnp.bfloat16)
+            mmT = jax.lax.dot_general(
+                rowm, bvT, dimension_numbers=dn,
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            mmD = jax.lax.dot_general(
+                rowm, bvD, dimension_numbers=dn,
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            if R4p <= WQ:
+                accT[g] += mmT
+                accD[g] += mmD
+            else:
+                accT[g, pl.ds(r0, WQ), :] += mmT
+                accD[g, pl.ds(r0, WQ), :] += mmD
+
+        def group_body(i, _):
+            # rotating accumulators with static ref targets decouple
+            # consecutive columns' read-modify-writes
+            for half in range(_UNROLL):
+                if half % 2 == 0:
+                    _paint_col(accT_ref, accD_ref, _UNROLL * i + half)
+                else:
+                    _paint_col(accT2_ref, accD2_ref, _UNROLL * i + half)
+            return 0
+
+        # trip count bounded by this block's used columns: trailing empty
+        # columns (capacity padding, sparse blocks) cost nothing, without
+        # a per-column scalar branch (a pl.when guard serialized Mosaic's
+        # column pipelining: measured paint 5.4 -> 9.1 ms)
+        ng = (ucols_ref[b] + _UNROLL - 1) // _UNROLL
+        jax.lax.fori_loop(0, ng, group_body, 0)
+
+    T4 = (accT_ref[...] + accT2_ref[...])               # [G, R4p, 128] bf16
+    D4 = (accD_ref[...] + accD2_ref[...]).astype(jnp.int32)
+    if stage == 1:                     # profiling: route + paint only
+        for g in range(G):
+            out_ref[g] = (T4[g, :R4].astype(jnp.int32) | D4[g, :R4])
+        return
+
+    # ---- batched word decode (all G blocks at once) ----
+    Ti = T4.astype(jnp.int32)
+    TSf = jax.lax.dot_general(T4.reshape(G * R4p, ROW), tri,
+                              dimension_numbers=mdn,
+                              preferred_element_type=jnp.float32)
+    TS = TSf.astype(jnp.int32).reshape(G, R4p, ROW)
+    rowtot = TS[:, :, ROW - 1:ROW]                          # [G, R4p, 1]
+    incl = _row_scan_1xr(jnp.swapaxes(rowtot, 1, 2), R4p, roll)
+    carry = jnp.swapaxes(incl - jnp.swapaxes(rowtot, 1, 2), 1, 2)
+    WC = carry + TS - Ti                # event-value prefix before word
+
+    # SWAR word decode (module docstring stage 4)
+    o1 = D4 & 7                         # open slot + 1 (0 = no open)
+    c1 = jax.lax.shift_right_logical(D4, 3) & 7   # close slot + 1
+    mask_new = jax.lax.shift_right_logical(0x8CEF0, o1 << 2) & 0xF
+    run_in = (WC >= 1).astype(jnp.int32)
+    mask_in = jnp.where(
+        run_in > 0,
+        jax.lax.shift_right_logical(0x7310F, c1 << 2) & 0xF, 0)
+    cov4 = mask_in | mask_new
+    pcin = jnp.where(run_in > 0, jnp.where(c1 > 0, c1 - 1, 4), 0)
+    cnt_w = pcin + jnp.where(o1 > 0, 5 - o1, 0)
+
+    # literal displacement: covered bytes before each word's first byte
+    CSf = jax.lax.dot_general(cnt_w.astype(jnp.bfloat16)
+                              .reshape(G * R4p, ROW), tri,
+                              dimension_numbers=mdn,
+                              preferred_element_type=jnp.float32)
+    CS = CSf.astype(jnp.int32).reshape(G, R4p, ROW)
+    crt = CS[:, :, ROW - 1:ROW]
+    cincl = _row_scan_1xr(jnp.swapaxes(crt, 1, 2), R4p, roll)
+    ccarry = jnp.swapaxes(cincl - jnp.swapaxes(crt, 1, 2), 1, 2)
+    d4 = ccarry + CS - cnt_w
+
+    if stage >= 3:
+        # coarse word route: dq = ceil(d4/4) is a staircase on the word
+        # domain; pull the two straddling source words with one shared
+        # bit-walk, batched over the group
+        dq = (d4 + 3) >> 2
+        pad4 = (dq << 2) - d4                               # (-d4) mod 4
+        litw = litw_ref[...]
+        if R4p != R4:
+            litw = jnp.concatenate(
+                [litw, jnp.zeros((G, R4p - R4, ROW), jnp.int32)], axis=1)
+        nxt = shuffle.flat_roll(litw, -1, roll)             # litw[j + 1]
+        wA, wB = _staircase_pull2(litw, nxt, dq, roll)
+
+        # one funnel shift places the word's whole (contiguous) literal
+        # window; soff < 0 when incoming-covered slots precede it (their
+        # junk bytes are overwritten by the sym fill below)
+        soff = pad4 - pcin
+        s1 = jnp.maximum(soff, 0) << 3
+        s2 = jnp.clip((4 - soff) << 3, 0, 31)
+        right = (jax.lax.shift_right_logical(wA, s1)
+                 | jnp.where(soff > 0, wB << s2, 0))
+        left = wA << (jnp.maximum(-soff, 0) << 3)
+        lit_word = jnp.where(soff >= 0, right, left)
+
+        # nibble masks -> per-byte masks (no carries: bits are isolated),
+        # then one select-free assembly of the output word.  Shift/add
+        # forms only: 32-bit vector multiplies are multi-op on the VPU
+        def expand(m):
+            sp = ((m & 1) | ((m & 2) << 7) | ((m & 4) << 14)
+                  | ((m & 8) << 21))
+            return (sp << 8) - sp                    # x 0xFF
+
+        def repl4(x):                                # x * 0x01010101
+            x2 = x | (x << 8)
+            return x2 | (x2 << 16)
+
+        sIn = repl4((WC - 1) & 0xFF)
+        sNew = repl4(((WC + Ti) - 1) & 0xFF)
+        out = ((sIn & expand(mask_in)) | (sNew & expand(mask_new))
+               | (lit_word & ~expand(cov4)))
+    else:                              # profiling stage 2: no literal move
+        out = cov4 | (d4 << 8)
+
+    # ---- per-block epilogue: fast paths + tail masks ----
     for g in range(G):
         b = cell * G + g
         meta = meta_ref[b]
@@ -237,17 +402,6 @@ def _decode_body(code_ref, meta_ref, ev_ref, dp_ref, litw_ref,
         all_lit = (meta >> 20) & 1
         all_run = (meta >> 21) & 1
         sym0 = (meta >> 22) & 0xFF
-
-        def write_masked(out, blen=blen, g=g):
-            @pl.when(blen >= B)
-            def _():
-                out_ref[g] = out
-
-            @pl.when(blen < B)
-            def _():
-                nf = jnp.clip(blen - 4 * flatw, 0, 4)
-                pm = (1 << (jnp.minimum(nf, 3) * 8)) - 1
-                out_ref[g] = jnp.where(nf >= 4, out, out & pm)
 
         @pl.when(all_lit == 1)
         def _(g=g):
@@ -258,132 +412,22 @@ def _decode_body(code_ref, meta_ref, ev_ref, dp_ref, litw_ref,
 
         @pl.when(all_run == 1)
         def _(g=g, sym0=sym0):
-            # gated to full blocks in the prep, so the broadcast needs no
-            # tail mask (min(iota, 0) anchors a real vector layout)
             out_ref[g] = (jnp.minimum(flatw, 0)
                           + sym0 * jnp.int32(0x01010101))
 
         @pl.when(all_lit + all_run == 0)
-        def _(g=g, b=b, blen=blen, write_masked=write_masked):
-            _decode_block(
-                code_ref, routed_all[g] if stage >= 1 else None,
-                litw_ref, out_ref, accv_ref, accv2_ref,
-                g, b, blen, write_masked, roll,
-                NC=NC, R4=R4, R4p=R4p, stage=stage, consts=consts)
+        def _(g=g, blen=blen):
+            o = out[g, :R4]
 
+            @pl.when(blen >= B)
+            def _():
+                out_ref[g] = o
 
-def _decode_block(code_ref, routed, litw_ref, out_ref, accv_ref, accv2_ref,
-                  g, b, blen, write_masked, roll,
-                  *, NC: int, R4: int, R4p: int, stage: int, consts):
-    (lane512, subl128, rows_iota, tri, dn, mdn, flatw) = consts
-    B = R4 * 4 * ROW
-
-    accvs = (accv_ref, accv2_ref)
-    # bf16 accumulators: every per-cell partial sum is an integer within
-    # +-256 (open/close pairs of adjacent runs bound the net), so bf16 is
-    # exact and the zero-fill + read-modify-write traffic halves
-    for a in accvs:
-        a[...] = jnp.zeros((R4p, 4 * ROW), jnp.bfloat16)
-    if stage == 0:                     # profiling: prep + launch + IO only
-        out_ref[g] = jnp.full((R4, ROW), blen, jnp.int32)
-        return
-
-    ev_t = jnp.swapaxes(routed, 0, 1)                       # [128, NC]
-
-    for c in range(NC):
-        cp = code_ref[b, c]
-        r0 = pl.multiple_of(cp & 0xFFFF, 8)      # stripe start word-row
-        lcnt = cp >> 16                          # live slots in the column
-        # rotate accumulators so consecutive columns' read-modify-writes
-        # don't serialize on one buffer (summed once after the loop)
-        accv = accvs[c % 2]
-
-        e = ev_t[:, c:c + 1]                     # [128, 1] event words
-        pos_c = jax.lax.shift_right_logical(e, _POS_SHIFT)
-        live = (pos_c < B) & (subl128 < lcnt)
-        vraw = jnp.where(live, (e & _VAL_MASK) - _VAL_OFF, 0)
-        # word-major paint coordinates: byte p -> word row p >> 9, paint
-        # lane (slot << 7) | word-lane = (p & 3) * 128 + ((p >> 2) & 127)
-        rowq_c = pos_c >> 9
-        lane_c = ((pos_c & 3) << 7) | ((pos_c >> 2) & 127)
-        val_cbf = vraw.astype(jnp.bfloat16)
-
-        # compare/astype/mul (NOT jnp.where: a [128,512] i1 where hits a
-        # Mosaic "invalid relayout" compile failure on v5e)
-        bv = (lane512 == lane_c).astype(jnp.bfloat16) * val_cbf
-        rowm = (rowq_c - r0 == rows_iota).astype(jnp.bfloat16)
-        mmv = jax.lax.dot_general(rowm, bv, dimension_numbers=dn,
-                                  preferred_element_type=jnp.float32
-                                  ).astype(jnp.bfloat16)
-        if R4p <= WR4:
-            accv[...] += mmv
-        else:
-            accv[pl.ds(r0, WR4), :] += mmv
-
-    painted = accv_ref[...] + accv2_ref[...]            # [R4p, 512] bf16
-    if stage == 1:                     # profiling: route + paint only
-        out_ref[g] = painted[:R4, :ROW].astype(jnp.int32)
-        return
-
-    # in-word prefixes: slot-plane t of the paint is the per-slot event
-    # sum, so P_t is three adds of static lane slices (module docstring)
-    V = [painted[:, t * ROW:(t + 1) * ROW] for t in range(4)]
-    P1 = V[0] + V[1]
-    P2 = P1 + V[2]
-    T = P2 + V[3]                                       # in-word total
-    Pt = [V[0], P1, P2, T]
-
-    # carries: in-row prefix via one triangular matmul, cross-row carry
-    # via a [1, R4p] log-step scan
-    TS = jax.lax.dot_general(T, tri, dimension_numbers=mdn,
-                             preferred_element_type=jnp.float32
-                             ).astype(jnp.int32)
-    Ti = T.astype(jnp.int32)
-    rowtot = TS[:, ROW - 1:ROW]                             # [R4p, 1]
-    incl = _row_scan_1xr(jnp.swapaxes(rowtot, 0, 1), R4p, roll)
-    carry = jnp.swapaxes(incl - jnp.swapaxes(rowtot, 0, 1), 0, 1)
-    WC = carry + TS - Ti                    # event-value prefix before word
-    cum = [WC + Pt[t].astype(jnp.int32) for t in range(4)]
-    cov = [c >= 1 for c in cum]
-    sym_t = [(c - 1) & 0xFF for c in cum]
-
-    # literal displacement: covered bytes before each word's first byte
-    cnt_w = (cov[0].astype(jnp.int32) + cov[1] + cov[2] + cov[3])
-    CS = jax.lax.dot_general(cnt_w.astype(jnp.bfloat16), tri,
-                             dimension_numbers=mdn,
-                             preferred_element_type=jnp.float32
-                             ).astype(jnp.int32)
-    crt = CS[:, ROW - 1:ROW]
-    cincl = _row_scan_1xr(jnp.swapaxes(crt, 0, 1), R4p, roll)
-    ccarry = jnp.swapaxes(cincl - jnp.swapaxes(crt, 0, 1), 0, 1)
-    d4 = ccarry + CS - cnt_w
-    if stage == 2:                     # profiling: no literal movement
-        write_masked((sym_t[0] | (d4 << 8))[:R4])
-        return
-
-    # coarse word route: dq = ceil(d4/4) is a staircase on the word
-    # domain; pull the two straddling source words with one shared bit-walk
-    dq = (d4 + 3) >> 2
-    pad4 = (dq << 2) - d4                                   # (-d4) mod 4
-    litw = litw_ref[g]
-    if R4p != R4:
-        litw = jnp.concatenate(
-            [litw, jnp.zeros((R4p - R4, ROW), jnp.int32)], axis=0)
-    nxt = shuffle.flat_roll(litw, -1, roll)                 # litw[j + 1]
-    wA, wB = _staircase_pull2(litw, nxt, dq, roll)
-
-    # fine: per-slot funnel extract + run/literal merge
-    out = jnp.zeros((R4p, ROW), jnp.int32)
-    pc = jnp.zeros((R4p, ROW), jnp.int32)
-    for t in range(4):
-        s = t + pad4 - pc                    # source byte offset in wA|wB
-        w = jnp.where(s >= 4, wB, wA)
-        byte = jax.lax.shift_right_logical(w, (s & 3) * 8) & 0xFF
-        m = jnp.where(cov[t], sym_t[t], byte)
-        out = out | (m << (8 * t))
-        pc = pc + cov[t].astype(jnp.int32)
-
-    write_masked(out[:R4])
+            @pl.when(blen < B)
+            def _():
+                nf = jnp.clip(blen - 4 * flatw, 0, 4)
+                pm = (1 << (jnp.minimum(nf, 3) * 8)) - 1
+                out_ref[g] = jnp.where(nf >= 4, o, o & pm)
 
 
 @functools.partial(jax.jit, static_argnames=("block_size", "interpret",
@@ -393,9 +437,8 @@ def _decode_jit(sym, count, lit_len, lits, n_cmds, n_lits, block_len, *,
                 out_words: bool) -> jnp.ndarray:
     nb, C = count.shape
     B = block_size
-    R = B // ROW
     R4 = B // 512
-    R4p = max(-(-R4 // 8) * 8, WR4)
+    R4p = max(-(-R4 // 8) * 8, WQ)
 
     count = count.astype(jnp.int32)
     lit_len = lit_len.astype(jnp.int32)
@@ -422,12 +465,14 @@ def _decode_jit(sym, count, lit_len, lits, n_cmds, n_lits, block_len, *,
     litw = litw.reshape(nb, R4, ROW)
 
     # --- stripe bucketing (module docstring): assign every live event to
-    # a column of 128 slots inside its 128-byte-row stripe; dense stripes
-    # get multiple columns, and the budget ns + ceil(E/128) always suffices
-    ns = -(-R // STRIPE)
+    # a column of 128 slots inside its stripe; dense stripes get multiple
+    # columns, and the budget ns + ceil(E/128) always suffices
+    ns = -(-B // STRIPE_BYTES)
     NC = ns + -(-E // ROW)
+    NC = -(-NC // _UNROLL) * _UNROLL   # kernel paints _UNROLL-column groups
     live = (pos < B) & (val != 0)
-    s_i = jnp.where(live, pos >> 14, ns).astype(jnp.int32)   # byte row//128
+    s_i = jnp.where(live, pos >> STRIPE_BYTES.bit_length() - 1,
+                    ns).astype(jnp.int32)                    # stripe of pos
     sb = jnp.arange(ns, dtype=jnp.int32)
     # lane-minor one-hot reduce ([nb, ns, E] with E on the lane axis)
     cnt = jnp.sum((s_i[:, None, :] == sb[None, :, None]).astype(jnp.int32),
@@ -465,11 +510,11 @@ def _decode_jit(sym, count, lit_len, lits, n_cmds, n_lits, block_len, *,
               - jnp.minimum(ev_idx.reshape(nb, NCK), NCK - 1))
     ev_src = jnp.full((nb, NCK), _PAD_WORD, jnp.int32)
     ev_src = jax.lax.dynamic_update_slice(ev_src, ev[:, :NCK], (0, 0))
-    # stripe start word-row (32 word rows per stripe), 8-aligned: stripe
-    # starts are multiples of 32 and the padded-plane clip bound R4p-32
-    # is a multiple of 8, so the window always covers the last rows
-    # (ADVICE r4), packed with the column's live-slot count
-    r0 = jnp.clip(jnp.where(in_use, s_of_c * WR4, 0), 0, max(R4p - WR4, 0))
+    # stripe start word-row, 8-aligned: stripe starts are multiples of WQ
+    # and the padded-plane clip bound R4p-WQ is a multiple of 8, so the
+    # window always covers the last rows (ADVICE r4), packed with the
+    # column's live-slot count
+    r0 = jnp.clip(jnp.where(in_use, s_of_c * WQ, 0), 0, max(R4p - WQ, 0))
     code = (r0 | (lcnt << 16)).astype(jnp.int32)
 
     # fast-path flags (kernel docstring): all-literal = exactly one
@@ -484,15 +529,20 @@ def _decode_jit(sym, count, lit_len, lits, n_cmds, n_lits, block_len, *,
     sym0 = sym[:, 0].astype(jnp.int32)
     meta = (block_len | (all_lit << 20) | (all_run << 21)
             | (jnp.where(all_run == 1, sym0, 0) << 22)).astype(jnp.int32)
+    # per-block used-column count bounds the kernel's paint trip count;
+    # fast-path blocks paint nothing at all
+    ucols = jnp.where((all_lit | all_run) > 0, 0,
+                      used[:, 0]).astype(jnp.int32)
 
     # group blocks per grid cell: batches the route pull and amortizes the
     # latency-bound small-plane scans across G blocks
-    G = 4 if nb >= 4 else 1
+    G = _GROUP if nb >= _GROUP else 1
     nbp = -(-nb // G) * G
     if nbp != nb:
         padb = nbp - nb
         # pad blocks decode as all-literal zero-length: one cheap copy
         meta = jnp.concatenate([meta, jnp.full(padb, 1 << 20, jnp.int32)])
+        ucols = jnp.concatenate([ucols, jnp.zeros(padb, jnp.int32)])
         code = jnp.pad(code, ((0, padb), (0, 0)))
         ev_src = jnp.pad(ev_src, ((0, padb), (0, 0)),
                          constant_values=_PAD_WORD)
@@ -502,7 +552,7 @@ def _decode_jit(sym, count, lit_len, lits, n_cmds, n_lits, block_len, *,
     kernel = functools.partial(_decode_body, NC=NC, R4=R4, R4p=R4p, G=G,
                                interpret=interpret, stage=stage)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nbp // G,),
         in_specs=[
             pl.BlockSpec((G, NC, ROW), lambda c, *_: (c, 0, 0)),
@@ -510,7 +560,8 @@ def _decode_jit(sym, count, lit_len, lits, n_cmds, n_lits, block_len, *,
             pl.BlockSpec((G, R4, ROW), lambda c, *_: (c, 0, 0)),
         ],
         out_specs=pl.BlockSpec((G, R4, ROW), lambda c, *_: (c, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((R4p, 4 * ROW), jnp.bfloat16)] * 2,
+        scratch_shapes=[pltpu.VMEM((G, R4p, ROW), jnp.bfloat16)] * 4
+        + [pltpu.VMEM((G, NC, ROW), jnp.int32)],
     )
     out = pl.pallas_call(
         kernel,
@@ -521,7 +572,7 @@ def _decode_jit(sym, count, lit_len, lits, n_cmds, n_lits, block_len, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(code, meta, ev_src.reshape(nbp, NC, ROW),
+    )(code, meta, ucols, ev_src.reshape(nbp, NC, ROW),
       d_pull.reshape(nbp, NC, ROW), litw)
     out = out[:nb].reshape(nb, R4 * ROW)
     if out_words:
@@ -542,8 +593,10 @@ def decode_columns_device(sym, count, lit_len, lits, n_cmds, n_lits,
 
     ``lits`` may be [nb, L] uint8 (compatibility; converted with an XLA
     bitcast) or [nb, L/4] int32 words (hot path; see lits_to_words).
+    Callers must guarantee every emitted run spans >= MIN_RUN bytes (the
+    boundary-descriptor contract; see fits_kernel).
     ``stage`` is a profiling knob (0 = prep/IO, 1 = +route+paint,
-    2 = +prefixes+carries, 3 = full decode)."""
+    2 = +carries+coverage, 3 = full decode)."""
     B = block_size
     assert B <= MAX_BLOCK, (B, MAX_BLOCK)
     # stripe windows are 8-aligned; see fits_kernel (ADVICE r4)

@@ -539,7 +539,16 @@ def decompress_ref_device(buf, codec, *, block_size: int = DEFAULT_BLOCK,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     y = None
-    if decode_sup.fits_kernel(B, sym.shape[1]):
+    # the kernel's boundary-descriptor paint requires every emitted run to
+    # span >= 4 bytes (at most one open/close per output word); reference
+    # grammars with shorter minimum runs (e.g. packed MIN_RANGE 3,
+    # rle8_extreme_cpu.h:2-24) decode via the XLA block decoder instead
+    ncs = np.asarray(n_cmds)
+    cts = np.asarray(count)
+    ridx = np.arange(cts.shape[1])[None, :]
+    emitted = (ridx < (ncs - 1)[:, None]) & (cts > 0)
+    min_run = int(cts[emitted].min()) if emitted.any() else 4
+    if min_run >= 4 and decode_sup.fits_kernel(B, sym.shape[1]):
         try:
             y = decode_sup.decode_planar_sup(
                 sym, count, lit_len, lits, n_cmds, n_lits, block_len,
@@ -547,9 +556,14 @@ def decompress_ref_device(buf, codec, *, block_size: int = DEFAULT_BLOCK,
         except Exception:   # shape/density limits (incl. VMEM ceilings)
             y = None
     if y is None:                      # density/shape fallback: XLA decoder
+        # the XLA block decoder shapes its output from the literal plane;
+        # the native parse trims lits to max(n_lits), so widen to B here
+        lits_b = np.asarray(lits)
+        if lits_b.shape[1] < B:
+            lits_b = np.pad(lits_b, ((0, 0), (0, B - lits_b.shape[1])))
         pb = planar_mod.PlanarBlocks(
             jnp.asarray(sym), jnp.asarray(count), jnp.asarray(lit_len),
-            jnp.asarray(lits), jnp.asarray(n_cmds), jnp.asarray(n_lits),
+            jnp.asarray(lits_b), jnp.asarray(n_cmds), jnp.asarray(n_lits),
             jnp.asarray(block_len))
         y = device_mod.decode_blocks(pb)
     if s == 1:

@@ -59,8 +59,12 @@ def main():
           f"ncmds mean={pc[4].mean():.0f} max={used}", file=sys.stderr)
 
     xd = jax.device_put(jnp.asarray(np.ascontiguousarray(x).view(np.int32)))
+    t0 = time.perf_counter()
     out = decode_sup.decode_columns_device(*dev, block_size=block,
                                            out_words=True)
+    _ = np.asarray(out[0, :1])
+    print(f"compile+first run: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
     ok = bool(np.asarray(jax.jit(lambda a, b: jnp.all(a == b))(out, xd)))
     print(f"roundtrip={ok}", file=sys.stderr)
 

@@ -56,7 +56,38 @@ gl = jax.make_array_from_process_local_data(
 cap = planar.capacity_for(B, 6)
 pb, sizes, offsets = dist.encode_sharded(gx, gl, capacity=cap, min_count=6,
                                          mesh=mesh)
+
+# bytes-on-wire accounting for the DCN path (VERDICT r4 #10): the only
+# cross-host collectives during serialization are the summable width
+# statistics and the flat/deep size vote -- O(1), never column data
+from jax.experimental import multihost_utils as _mhu
+_orig_ag = _mhu.process_allgather
+_WIRE = [0]
+def _counting_ag(x, *a, **k):
+    _WIRE[0] += np.asarray(x).nbytes
+    return _orig_ag(x, *a, **k)
+_mhu.process_allgather = _counting_ag
 parts, flags = dist.serialize_local_blocks(pb, min_count=6)
+_mhu.process_allgather = _orig_ag
+assert _WIRE[0] <= 1024, f"serialization moved {_WIRE[0]} bytes over DCN"
+
+# and the in-mesh size exchange (which crosses the host boundary in this
+# 2-process global mesh) carries O(n_blocks) metadata, as on ICI
+import re
+hlo = dist.encode_sharded.lower(gx, gl, capacity=cap, min_count=6,
+                                mesh=mesh).as_text()
+wire = 0
+for m in re.finditer(
+        r'"stablehlo\.all_(?:gather|reduce)"[^:]*:[^)]*\)\s*->\s*'
+        r'tensor<([0-9x]*)x?([a-z0-9]+)>', hlo):
+    dims, dt = m.group(1), m.group(2)
+    elems = 1
+    for d in filter(None, dims.split("x")):
+        elems *= int(d)
+    wire += elems * {"i32": 4, "ui32": 4, "i64": 8, "f32": 4,
+                     "i8": 1, "ui8": 1, "i1": 1}.get(dt, 4)
+assert 0 < wire <= 16 * NB, f"collectives move {wire} bytes for {NB} blocks"
+print("WIRE_OK", _WIRE[0], wire, flush=True)
 # (the in-mesh sizes exchange models the flat per-block layout; the
 # serializer's global width/deep choice may pack tighter, so sizes are an
 # upper-bound shipping plan, not asserted equal)
@@ -98,6 +129,7 @@ def test_two_process_cpu_mesh(tmp_path):
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0 and f"WORKER_OK {i}" in out, out[-2000:]
+        assert "WIRE_OK" in out, out[-2000:]
 
     # ordered assembly from both hosts' parts == single-process container:
     # the tiny width-stats collective makes every host pick identical
