@@ -205,10 +205,10 @@ def row_compact(cols, keep: jnp.ndarray, roll=_jroll):
 
 
 def pack_rows4(c: jnp.ndarray, roll=_jroll) -> jnp.ndarray:
-    """[R, 128] -> [R//4, 128]: lane group g of packed row r2 holds lanes
-    0..31 of source row 4*r2+g (valid when each source row's payload fits
-    its first 32 lanes -- commands per 128-byte row are bounded by
-    128/min_count <= 32 for min_count >= 4)."""
+    """[..., R, 128] -> [..., R//4, 128]: lane group g of packed row r2
+    holds lanes 0..31 of source row 4*r2+g (valid when each source row's
+    payload fits its first 32 lanes -- commands per 128-byte row are
+    bounded by 128/min_count <= 32 for min_count >= 4)."""
     R = c.shape[-2]
     lane = jax.lax.broadcasted_iota(jnp.int32, c.shape, c.ndim - 1)
     z1 = roll(c, R - 1, c.ndim - 2)          # row r+1 (rolls must be >= 0)
@@ -218,7 +218,7 @@ def pack_rows4(c: jnp.ndarray, roll=_jroll) -> jnp.ndarray:
                   jnp.where(lane < 64, roll(z1, 32, c.ndim - 1),
                             jnp.where(lane < 96, roll(z2, 64, c.ndim - 1),
                                       roll(z3, 96, c.ndim - 1))))
-    return y.reshape(R // 4, 4, LANES)[:, 0, :]
+    return y.reshape(*c.shape[:-2], R // 4, 4, LANES)[..., 0, :]
 
 
 def forward_fill_tile(x: jnp.ndarray, valid: jnp.ndarray, roll=_jroll):
