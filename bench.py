@@ -85,6 +85,40 @@ def make_bwt_dataset(mib: int, seed: int = 7) -> np.ndarray:
     return np.where(litmask, noise, out).astype(np.uint8)
 
 
+def make_sh_dataset(mib: int, seed: int = 21) -> np.ndarray:
+    """Recency-regime row: long zero runs + literals drawn from a rolling
+    3-symbol recency process -- the regime where the reference's SH coder
+    posts its best real-file ratio (12.51% vs 19.34% base, README.md:59,
+    rle_sh.c:98-267).  HRT1's per-block literal dictionary wins when the
+    literal distribution is skewed per block but cannot follow a rolling
+    recency chain; this row prices that concession."""
+    n = mib << 20
+    rng = np.random.default_rng(seed)
+    out = np.zeros(n, np.uint8)
+    pos = 0
+    recent = [1, 2, 3]
+    while pos < n:
+        pos += int(rng.geometric(1 / 24.0))
+        lit = min(int(rng.geometric(1 / 6.0)), 40)
+        for i in range(lit):
+            if pos + i >= n:
+                break
+            r = rng.random()
+            if r < 0.55:
+                v = recent[0]
+            elif r < 0.75:
+                v = recent[1]
+            elif r < 0.85:
+                v = recent[2]
+            else:
+                v = int(rng.integers(1, 256))
+            if v != recent[0]:
+                recent = [v, recent[0], recent[1]]
+            out[pos + i] = v
+        pos += lit
+    return out
+
+
 def make_random_dataset(mib: int, seed: int = 9) -> np.ndarray:
     """Incompressible control row (the memcpy-adjacent worst case)."""
     return np.random.default_rng(seed).integers(
@@ -353,7 +387,8 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
     # (the reference's README tables cover multiple datasets; these two pin
     # the worst case and the ~49%-ratio text case, README.md:63,115)
     for tag, maker in (("random", make_random_dataset),
-                       ("bwt", make_bwt_dataset)):
+                       ("bwt", make_bwt_dataset),
+                       ("sh", make_sh_dataset)):
         try:
             dd = maker(min(16, max(1, n >> 20)))
             nb2 = dd.size // block
@@ -514,6 +549,7 @@ def main():
                   "ratio_flat", "decode_flat_gbps",
                   "ratio_random", "decode_random_gbps",
                   "ratio_bwt", "decode_bwt_gbps",
+                  "ratio_sh", "decode_sh_gbps",
                   "ratio_w64", "decode_w64_gbps", "ref_ingest_gbps",
                   "stage_ms")
     if results.get("done") and results.get("ok"):

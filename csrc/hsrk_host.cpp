@@ -356,6 +356,7 @@ int unpack_container_deep_batch(
     const int32_t *cnt_ovf_bits, const int32_t *ll_ovf_bits,
     const int32_t *n_cnt_ovf, const int32_t *n_ll_ovf, const int32_t *n_miss,
     const uint8_t *dict7, int64_t hdr_size,
+    const int32_t *lit_k, const int32_t *n_lmiss,  // litdict (0 = raw lits)
     int64_t nb, int64_t cap, int64_t B, int32_t min_count,
     uint8_t *sym, int32_t *count, int32_t *lit_len, uint8_t *lits) {
   return parallel_blocks(nb, [&](int64_t b) -> int {
@@ -430,7 +431,73 @@ int unpack_container_deep_batch(
     if (m != nms) return 6;
 
     std::memset(lits + b * B, 0, (size_t)B);
-    std::memcpy(lits + b * B, miss + nms, (size_t)nl);
+    const int32_t lk = lit_k ? lit_k[b] : 0;
+    if (lk == 0) {
+      std::memcpy(lits + b * B, miss + nms, (size_t)nl);
+      return 0;
+    }
+    // litdict: per-block literal dictionary (2^k - 1 bytes) + k-bit codes
+    // + raw miss stream (container.FLAG_LITDICT)
+    if (lk < 2 || lk > 8) return 7;
+    const int64_t nd = (1 << lk) - 1;
+    const uint8_t *ldict = miss + nms;
+    const uint8_t *lcodes = ldict + nd;
+    const int64_t lc_bytes = (lk * nl + 7) / 8;
+    const uint8_t *lmiss = lcodes + lc_bytes;
+    const int64_t nlm = n_lmiss[b];
+    if (nlm < 0 || nlm > nl) return 7;
+    std::vector<int32_t> lidx((size_t)std::max<int64_t>(nl, 1));
+    unpack_bits(lcodes, lc_bytes, nl, lk, lidx.data(), 0);
+    uint8_t *dst = lits + b * B;
+    int64_t lm = 0;
+    for (int64_t i = 0; i < nl; i++) {
+      const int32_t li = lidx[(size_t)i];
+      if (li == 0) {
+        if (lm >= nlm) return 7;
+        dst[i] = lmiss[lm++];
+      } else {
+        dst[i] = ldict[li - 1];
+      }
+    }
+    if (lm != nlm) return 7;
+    return 0;
+  });
+}
+
+// litdict-only resolution for the device-pack path: each block's k-bit
+// literal-dictionary codes + miss stream -> raw literal bytes (the other
+// sections ship to the accelerator still packed).  lit_off[b] points at
+// the block's literal dictionary (container._deep_sections offs[6]).
+int resolve_litdict_batch(
+    const uint8_t *payload, const int64_t *lit_off, const int32_t *n_lits,
+    const int32_t *lit_k, const int32_t *n_lmiss,
+    int64_t nb, int64_t L, uint8_t *lits) {
+  return parallel_blocks(nb, [&](int64_t b) -> int {
+    const int64_t nl = n_lits[b];
+    const int32_t lk = lit_k[b];
+    if (nl < 0 || nl > L || lk < 2 || lk > 8) return 1;
+    const int64_t nd = (1 << lk) - 1;
+    const uint8_t *ldict = payload + lit_off[b];
+    const uint8_t *lcodes = ldict + nd;
+    const int64_t lc_bytes = (lk * nl + 7) / 8;
+    const uint8_t *lmiss = lcodes + lc_bytes;
+    const int64_t nlm = n_lmiss[b];
+    if (nlm < 0 || nlm > nl) return 2;
+    std::vector<int32_t> lidx((size_t)std::max<int64_t>(nl, 1));
+    unpack_bits(lcodes, lc_bytes, nl, lk, lidx.data(), 0);
+    uint8_t *dst = lits + b * L;
+    std::memset(dst, 0, (size_t)L);
+    int64_t lm = 0;
+    for (int64_t i = 0; i < nl; i++) {
+      const int32_t li = lidx[(size_t)i];
+      if (li == 0) {
+        if (lm >= nlm) return 2;
+        dst[i] = lmiss[lm++];
+      } else {
+        dst[i] = ldict[li - 1];
+      }
+    }
+    if (lm != nlm) return 2;
     return 0;
   });
 }

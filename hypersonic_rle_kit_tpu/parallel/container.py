@@ -21,6 +21,12 @@ a columnar, bit-packed block format designed for massively parallel decode:
              two-tier lit_len column,
              3-bit symbol references (0 = miss, k = dictionary entry k-1),
              symbol misses, literal bytes
+    payload (deep + literal dictionary, flags=FLAG_DEEP|FLAG_LITDICT):
+             as deep, but the sub-header gains n_lmiss u32 and the raw
+             literal bytes are replaced by {literal dictionary
+             (2^k - 1 bytes), k-bit literal references (0 = miss),
+             literal misses}; k is container-uniform, cost-chosen
+             (litdict_costs) and stored in each block-table entry
 
 Compared with the reference's interleaved varint grammar
 ([symbol][count][range][literals], rle8_extreme_cpu.h:768-931) the columns
@@ -49,7 +55,17 @@ _BLOCK = struct.Struct("<IIIBBBB")
 # counts for the two-tier count/lit_len columns, symbol-miss count,
 # overflow widths (see FLAG_DEEP below)
 _DEEP = struct.Struct("<7sIIIBBxx")
+# litdict extension of the deep sub-header: + literal-miss count; the
+# per-block literal dictionary (2^k - 1 bytes, k container-uniform and
+# stored in the block-table pad byte) rides as a payload section, and
+# literal bytes become k-bit dictionary references + a raw miss stream.
+# This is the columnar dual of the reference SH coder's recency model
+# (rle_sh.c:98-267: 1-4 bit codes for recent symbols) generalized to a
+# cost-chosen code width: measured -5.5pp container ratio on the DCT
+# bench corpus at k=5 and -3pp on recency-skewed data at k=3
+_DEEP_LD = struct.Struct("<7sIIIBBI")
 FLAG_DEEP = 0x01
+FLAG_LITDICT = 0x02         # only valid together with FLAG_DEEP
 # 256 KiB blocks: large enough to amortize per-block fixed costs in the
 # device kernels (measured ~8% faster decode than 64 KiB on v5e), small
 # enough that tens of blocks exist for the parallel axes
@@ -98,6 +114,7 @@ class ContainerInfo:
     n_blocks: int
     min_count: int
     deep: bool = False
+    litdict: bool = False
 
 
 def block_payload(sym_b: np.ndarray, count_b: np.ndarray,
@@ -190,9 +207,18 @@ def serialize_blocks(codec_index: int, uncompressed_size: int, block_size: int,
               for b in range(nb)]
     deep_blob = assemble(codec_index, uncompressed_size, block_size, dparts,
                          flags=FLAG_DEEP)
+    lcosts = litdict_costs([lits[b][:int(n_lits[b])] for b in range(nb)])
+    lit_k = int(np.argmin(lcosts)) + 2
+    ldparts = [block_payload_deep(sym[b], count[b], lit_len[b], lits[b],
+                                  int(n_cmds[b]), int(n_lits[b]), min_count,
+                                  widths, lit_k=lit_k)
+               for b in range(nb)]
+    ld_blob = assemble(codec_index, uncompressed_size, block_size, ldparts,
+                       flags=FLAG_DEEP | FLAG_LITDICT)
     if deep is True:
-        return deep_blob
-    return deep_blob if len(deep_blob) < len(flat) else flat
+        return ld_blob if len(ld_blob) < len(deep_blob) else deep_blob
+    best = min((flat, deep_blob, ld_blob), key=len)
+    return best
 
 
 def two_tier_stats(pooled: np.ndarray):
@@ -237,35 +263,63 @@ def _two_tier_widths(pooled: np.ndarray) -> tuple[int, int]:
     return widths_from_stats(*two_tier_stats(pooled))
 
 
-def _block_dict(sym_runs: np.ndarray) -> bytes:
-    """Top-7 run symbols of a block, most frequent first (7 bytes).
+def litdict_costs(lit_streams) -> np.ndarray:
+    """Total literal-section cost (bytes) for dictionary code widths
+    k = 2..8 over a list of per-block literal streams.  Summable across
+    hosts, so the multi-host serializer picks the identical k
+    (parallel/dist.serialize_local_blocks)."""
+    costs = np.zeros(7, np.int64)
+    for lv in lit_streams:
+        lv = np.asarray(lv, np.uint8)
+        cnt = np.sort(np.bincount(lv, minlength=256))[::-1]
+        ccum = np.cumsum(cnt)
+        for i, k in enumerate(range(2, 9)):
+            hits = int(ccum[min(2 ** k - 2, 255)])
+            costs[i] += ((k * lv.size + 7) // 8 + (lv.size - hits)
+                         + (1 << k) - 1)
+    return costs
+
+
+def _block_dict(sym_runs: np.ndarray, size: int = 7) -> bytes:
+    """Top-``size`` symbols of a block, most frequent first.
 
     The parallel stand-in for the reference's sequential 3/7-entry MTF
     LUT (rleX_Xsl.h:279-287): a per-block dictionary adapts to the same
     locality without a serial dependency, so the device resolves every
-    symbol reference with seven plane-selects instead of a scan."""
+    symbol reference with plane-selects instead of a scan."""
     if sym_runs.size == 0:
-        return bytes(7)
+        return bytes(size)
     counts = np.bincount(sym_runs, minlength=256)
-    top = np.argsort(-counts, kind="stable")[:7]
-    return bytes(int(t) for t in top)
+    top = np.argsort(-counts, kind="stable")[:size]
+    return (bytes(int(t) for t in top) + bytes(size))[:size]
 
 
 def _deep_expect(nc: int, nl: int, n_cnt_ovf: int, n_ll_ovf: int,
-                 n_miss: int, cb: int, cob: int, lb: int, lob: int) -> int:
+                 n_miss: int, cb: int, cob: int, lb: int, lob: int,
+                 n_lmiss: int | None = None, lit_k: int = 0) -> int:
     n_runs = nc - 1
-    return (_DEEP.size + (cb * n_runs + 7) // 8 + (cob * n_cnt_ovf + 7) // 8
+    base = ((cb * n_runs + 7) // 8 + (cob * n_cnt_ovf + 7) // 8
             + (lb * nc + 7) // 8 + (lob * n_ll_ovf + 7) // 8
-            + (3 * n_runs + 7) // 8 + n_miss + nl)
+            + (3 * n_runs + 7) // 8 + n_miss)
+    if n_lmiss is None:
+        return _DEEP.size + base + nl
+    return (_DEEP_LD.size + base + (1 << lit_k) - 1
+            + (lit_k * nl + 7) // 8 + n_lmiss)
 
 
 def block_payload_deep(sym_b, count_b, lit_len_b, lits_b, nc: int, nl: int,
-                       min_count: int, widths: tuple[int, int, int, int]
-                       ) -> tuple[bytes, bytes]:
+                       min_count: int, widths: tuple[int, int, int, int],
+                       lit_k: int = 0) -> tuple[bytes, bytes]:
     """Serialize one block in the deep layout (FLAG_DEEP): two-tier
     count/lit_len columns, 3-bit symbol-dictionary references, symbol
     misses, literals.  ``widths`` = (cnt_base, cnt_ovf, ll_base, ll_ovf)
-    bits, container-uniform."""
+    bits, container-uniform.
+
+    ``lit_k`` > 0 (FLAG_DEEP|FLAG_LITDICT): literal bytes are recoded as
+    k-bit references into a per-block top-(2^k - 1) *literal* dictionary
+    with a raw miss stream -- the columnar dual of the reference SH
+    coder's recency model (rle_sh.c:98-267), at a cost-chosen code width
+    (k = 5 buys 8 -> ~5.6 bits per literal on the DCT corpus)."""
     cb, cob, lb, lob = widths
     n_runs = nc - 1
     cnts = count_b[:n_runs].astype(np.int64) - min_count
@@ -281,16 +335,31 @@ def block_payload_deep(sym_b, count_b, lit_len_b, lits_b, nc: int, nl: int,
     for k in range(7):
         idx[(syms == darr[k]) & (idx == 0)] = k + 1
     miss = syms[idx == 0]
-    sub = _DEEP.pack(d7, int(cm.sum()), int(lm.sum()), int(miss.size),
-                     cob, lob)
-    payload = (sub
-               + _bitpack(np.where(cm, cesc, cnts), cb)
-               + _bitpack(cnts[cm], cob)
-               + _bitpack(np.where(lm, lesc, lls), lb)
-               + _bitpack(lls[lm], lob)
-               + _bitpack(idx.astype(np.int64), 3)
-               + miss.tobytes() + lits_b[:nl].tobytes())
-    entry = _BLOCK.pack(len(payload), nc, nl, cb, lb, min_count, 0)
+    head = (_bitpack(np.where(cm, cesc, cnts), cb)
+            + _bitpack(cnts[cm], cob)
+            + _bitpack(np.where(lm, lesc, lls), lb)
+            + _bitpack(lls[lm], lob)
+            + _bitpack(idx.astype(np.int64), 3)
+            + miss.tobytes())
+    if not lit_k:
+        sub = _DEEP.pack(d7, int(cm.sum()), int(lm.sum()), int(miss.size),
+                         cob, lob)
+        payload = sub + head + lits_b[:nl].tobytes()
+        entry = _BLOCK.pack(len(payload), nc, nl, cb, lb, min_count, 0)
+        return entry, payload
+    litv = lits_b[:nl]
+    nd = (1 << lit_k) - 1
+    ldd = _block_dict(litv, nd)
+    ldarr = np.frombuffer(ldd, np.uint8)
+    lidx = np.zeros(nl, np.int64)
+    for k in range(nd):
+        lidx[(litv == ldarr[k]) & (lidx == 0)] = k + 1
+    lmiss = litv[lidx == 0]
+    sub = _DEEP_LD.pack(d7, int(cm.sum()), int(lm.sum()), int(miss.size),
+                        cob, lob, int(lmiss.size))
+    payload = (sub + head + ldd + _bitpack(lidx, lit_k)
+               + lmiss.tobytes())
+    entry = _BLOCK.pack(len(payload), nc, nl, cb, lb, min_count, lit_k)
     return entry, payload
 
 
@@ -365,14 +434,59 @@ def pack_for_device(buf: bytes, parsed=None):
                                      np.int32),
                    n_miss=np.array([bl["n_miss"] for bl in blocks],
                                    np.int32))
+        lits_done = False
+        if info.litdict:
+            # native batched k-bit literal resolution (csrc); numpy
+            # fallback below validates and raises on hostile mismatches
+            from ..utils import native
+            res = native.resolve_litdict(
+                np.frombuffer(buf, np.uint8),
+                np.array([bl["payload_off"]
+                          + _deep_sections(bl, bl["n_cmds"],
+                                           bl["n_lits"])[0][6]
+                          for bl in blocks], np.int64),
+                np.array([bl["n_lits"] for bl in blocks], np.int32),
+                np.array([bl["lit_k"] for bl in blocks], np.int32),
+                np.array([bl["n_lmiss"] for bl in blocks], np.int32),
+                lits.shape[1])
+            if res is not None:
+                lits = res
+                out["lits"] = lits
+                lits_done = True
         for b, bl in enumerate(blocks):
             nc, nl = bl["n_cmds"], bl["n_lits"]
             p = bl["payload_off"]
             offs, sizes = _deep_sections(bl, nc, nl)
             dsts = (cnts_raw, cnt_ovf_raw, lls_raw, ll_ovf_raw,
-                    lut_raw, miss_raw, lits)
+                    lut_raw, miss_raw)
             for dst, o, sz in zip(dsts, offs, sizes):
                 dst[b, :sz] = np.frombuffer(mv[p + o:p + o + sz], np.uint8)
+            if lits_done:
+                pass
+            elif info.litdict:
+                # resolve the k-bit literal-dictionary codes host-side so
+                # the device keeps receiving a raw literal byte stream
+                # (its input stays O(compressed): n_lits <= a few % of B)
+                lk = bl["lit_k"]
+                ldarr = np.frombuffer(
+                    mv[p + offs[6]:p + offs[6] + sizes[6]], np.uint8)
+                lidx = _bitunpack(mv[p + offs[7]:p + offs[7] + sizes[7]],
+                                  lk, nl)
+                litv = np.zeros(nl, np.uint8)
+                lhit = lidx > 0
+                litv[lhit] = ldarr[lidx[lhit] - 1]
+                nlm = int((~lhit).sum())
+                if nlm != bl["n_lmiss"]:
+                    raise ContainerError(
+                        f"deep block {b}: {nlm} literal misses but "
+                        f"{bl['n_lmiss']} stored")
+                litv[~lhit] = np.frombuffer(
+                    mv[p + offs[8]:p + offs[8] + sizes[8]], np.uint8,
+                    count=nlm)
+                lits[b, :nl] = litv
+            else:
+                lits[b, :nl] = np.frombuffer(
+                    mv[p + offs[6]:p + offs[6] + sizes[6]], np.uint8)
             dict7[b] = np.frombuffer(bl["dict7"], np.uint8)
             n_cmds[b] = nc
             n_lits[b] = nl
@@ -417,9 +531,12 @@ def parse(buf: bytes) -> tuple[ContainerInfo, list[dict]]:
     magic, codec, flags, _rsv, usize, bsize, nb = _HEADER.unpack_from(buf, 0)
     if magic != MAGIC:
         raise ContainerError("not an HRT1 container")
-    if flags & ~FLAG_DEEP:
+    if flags & ~(FLAG_DEEP | FLAG_LITDICT):
         raise ContainerError(f"unknown container flags {flags:#x}")
     deep = bool(flags & FLAG_DEEP)
+    litdict = bool(flags & FLAG_LITDICT)
+    if litdict and not deep:
+        raise ContainerError("litdict flag requires the deep layout")
     if bsize <= 0 or bsize > MAX_BLOCK_SIZE or nb < 0 or nb > MAX_BLOCKS:
         raise ContainerError(f"implausible geometry: block_size={bsize} "
                              f"n_blocks={nb}")
@@ -433,8 +550,8 @@ def parse(buf: bytes) -> tuple[ContainerInfo, list[dict]]:
     payload_off = off + _BLOCK.size * nb
     min_count = 6
     for b in range(nb):
-        pbytes, nc, nl, cnt_bits, lit_bits, min_count, _ = _BLOCK.unpack_from(
-            buf, off + b * _BLOCK.size)
+        (pbytes, nc, nl, cnt_bits, lit_bits, min_count,
+         lit_k) = _BLOCK.unpack_from(buf, off + b * _BLOCK.size)
         if nc < 1 or nc > bsize + 1:
             raise ContainerError(f"block {b}: n_cmds {nc} out of range")
         if nl > bsize:
@@ -443,10 +560,23 @@ def parse(buf: bytes) -> tuple[ContainerInfo, list[dict]]:
             raise ContainerError(f"block {b}: bit width > 32")
         extra = {}
         if deep:
-            if payload_off + _DEEP.size > len(buf):
+            sub = _DEEP_LD if litdict else _DEEP
+            if payload_off + sub.size > len(buf):
                 raise ContainerError(f"block {b}: truncated deep sub-header")
-            d7, n_cov, n_lov, n_miss, cob, lob = _DEEP.unpack_from(
-                buf, payload_off)
+            n_lmiss = None
+            if litdict:
+                (d7, n_cov, n_lov, n_miss, cob,
+                 lob, n_lmiss) = sub.unpack_from(buf, payload_off)
+                if n_lmiss > nl:
+                    raise ContainerError(f"block {b}: literal misses "
+                                         "exceed literal count")
+                if not 2 <= lit_k <= 8:
+                    raise ContainerError(f"block {b}: literal dictionary "
+                                         f"width {lit_k} out of range")
+            else:
+                d7, n_cov, n_lov, n_miss, cob, lob = sub.unpack_from(
+                    buf, payload_off)
+                lit_k = 0
             if n_cov > max(nc - 1, 0) or n_lov > nc or n_miss > max(nc - 1, 0):
                 raise ContainerError(f"block {b}: overflow/miss counts "
                                      "exceed command count")
@@ -456,9 +586,12 @@ def parse(buf: bytes) -> tuple[ContainerInfo, list[dict]]:
                 raise ContainerError(f"block {b}: overflow entries with "
                                      "zero base width")
             expect = _deep_expect(nc, nl, n_cov, n_lov, n_miss,
-                                  cnt_bits, cob, lit_bits, lob)
+                                  cnt_bits, cob, lit_bits, lob, n_lmiss,
+                                  lit_k)
             extra = dict(dict7=d7, n_cnt_ovf=n_cov, n_ll_ovf=n_lov,
                          n_miss=n_miss, cnt_ovf_bits=cob, ll_ovf_bits=lob)
+            if litdict:
+                extra.update(lit_k=lit_k, n_lmiss=n_lmiss)
         else:
             expect = ((cnt_bits * (nc - 1) + 7) // 8
                       + (lit_bits * nc + 7) // 8 + (nc - 1) + nl)
@@ -471,7 +604,7 @@ def parse(buf: bytes) -> tuple[ContainerInfo, list[dict]]:
                            n_cmds=nc, n_lits=nl, cnt_bits=cnt_bits,
                            lit_bits=lit_bits, **extra))
         payload_off += pbytes
-    info = ContainerInfo(codec, usize, bsize, nb, min_count, deep)
+    info = ContainerInfo(codec, usize, bsize, nb, min_count, deep, litdict)
     return info, blocks
 
 
@@ -503,7 +636,12 @@ def deserialize_to_planar(buf: bytes, capacity: int | None = None):
             np.array([bl["n_miss"] for bl in blocks], np.int32),
             np.stack([np.frombuffer(bl["dict7"], np.uint8)
                       for bl in blocks]),
-            _DEEP.size, capacity, B, info.min_count)
+            _DEEP_LD.size if info.litdict else _DEEP.size, capacity, B,
+            info.min_count,
+            lit_k=np.array([bl.get("lit_k", 0) for bl in blocks], np.int32)
+            if info.litdict else None,
+            n_lmiss=np.array([bl.get("n_lmiss", 0) for bl in blocks],
+                             np.int32) if info.litdict else None)
         if cols is not None:
             return info, (*cols, n_cmds, n_lits, block_len)
     if nb and not info.deep:
@@ -533,11 +671,9 @@ def deserialize_to_planar(buf: bytes, capacity: int | None = None):
         n_runs = nc - 1
         p = bl["payload_off"]
         if info.deep:
-            cnts, lls, syms = _read_deep_block(mv, p, bl, nc, nl)
+            cnts, lls, syms, litv = _read_deep_block(mv, p, bl, nc, nl)
             sym[b, :n_runs] = syms
-            lits[b, :nl] = np.frombuffer(
-                mv[p + bl["payload_bytes"] - nl:
-                   p + bl["payload_bytes"]], np.uint8)
+            lits[b, :nl] = litv
         else:
             cnt_bytes = (bl["cnt_bits"] * n_runs + 7) // 8
             lit_bytes = (bl["lit_bits"] * nc + 7) // 8
@@ -558,17 +694,24 @@ def deserialize_to_planar(buf: bytes, capacity: int | None = None):
 def _deep_sections(bl: dict, nc: int, nl: int):
     """Byte offsets (relative to the block payload) and lengths of the
     deep layout's sections, in order: cnt_base, cnt_ovf, ll_base, ll_ovf,
-    lut3, sym_miss, lits."""
+    lut3, sym_miss, then lits (plain deep) or lit3 + lit_miss
+    (deep+litdict)."""
     n_runs = nc - 1
     cb, lb = bl["cnt_bits"], bl["lit_bits"]
     cob, lob = bl["cnt_ovf_bits"], bl["ll_ovf_bits"]
+    litdict = "lit_k" in bl
     sizes = [(cb * n_runs + 7) // 8,
              (cob * bl["n_cnt_ovf"] + 7) // 8,
              (lb * nc + 7) // 8,
              (lob * bl["n_ll_ovf"] + 7) // 8,
              (3 * n_runs + 7) // 8,
-             bl["n_miss"], nl]
-    offs, o = [], _DEEP.size
+             bl["n_miss"]]
+    if litdict:
+        lk = bl["lit_k"]
+        sizes += [(1 << lk) - 1, (lk * nl + 7) // 8, bl["n_lmiss"]]
+    else:
+        sizes += [nl]
+    offs, o = [], (_DEEP_LD.size if litdict else _DEEP.size)
     for sz in sizes:
         offs.append(o)
         o += sz
@@ -606,4 +749,17 @@ def _read_deep_block(mv, p: int, bl: dict, nc: int, nl: int):
         raise ContainerError(f"deep block: {nm} symbol misses but "
                              f"{bl['n_miss']} stored")
     syms[~hit] = np.frombuffer(sec[5], np.uint8, count=nm)
-    return cnts, lls, syms
+    if "lit_k" not in bl:
+        return cnts, lls, syms, np.frombuffer(sec[6], np.uint8)
+    lk = bl["lit_k"]
+    ldarr = np.frombuffer(sec[6], np.uint8)
+    lidx = _bitunpack(sec[7], lk, nl)
+    litv = np.zeros(nl, np.uint8)
+    lhit = lidx > 0
+    litv[lhit] = ldarr[lidx[lhit] - 1]
+    nlm = int((~lhit).sum())
+    if nlm != bl["n_lmiss"]:
+        raise ContainerError(f"deep block: {nlm} literal misses but "
+                             f"{bl['n_lmiss']} stored")
+    litv[~lhit] = np.frombuffer(sec[8], np.uint8, count=nlm)
+    return cnts, lls, syms, litv

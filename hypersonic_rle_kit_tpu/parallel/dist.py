@@ -151,7 +151,10 @@ def serialize_local_blocks(pb, min_count: int = 6,
          for blk, nc in ((b, b[2]) for b in local)] or [np.zeros(0, np.int64)])
     cn, cmax, cge = container.two_tier_stats(pooled_c)
     ln, lmax, lge = container.two_tier_stats(pooled_l)
-    stats = np.concatenate([[cn, cmax], cge, [ln, lmax], lge]).astype(np.int64)
+    lcosts = container.litdict_costs(
+        [blk[1][3][:blk[3]] for blk in local])      # summable, 7 ints
+    stats = np.concatenate([[cn, cmax], cge, [ln, lmax], lge,
+                            lcosts]).astype(np.int64)
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
         allstats = np.asarray(multihost_utils.process_allgather(stats))
@@ -162,13 +165,14 @@ def serialize_local_blocks(pb, min_count: int = 6,
         stats = summed
     cn, cmax, cge = int(stats[0]), int(stats[1]), stats[2:35]
     ln, lmax, lge = int(stats[35]), int(stats[36]), stats[37:70]
+    lit_k = int(np.argmin(stats[70:77])) + 2
     widths = (container.widths_from_stats(cn, cmax, cge)
               + container.widths_from_stats(ln, lmax, lge))
     flat_cb = container._width_for(cmax)
     flat_lb = container._width_for(lmax)
 
-    flat_parts, deep_parts = {}, {}
-    flat_sz = deep_sz = 0
+    flat_parts, deep_parts, ld_parts = {}, {}, {}
+    flat_sz = deep_sz = ld_sz = 0
     for b, (sym_b, cnt_b, ll_b, lits_b), nc, nl in local:
         fp = container.block_payload(sym_b, cnt_b, ll_b, lits_b, nc, nl,
                                      min_count, flat_cb, flat_lb)
@@ -179,17 +183,30 @@ def serialize_local_blocks(pb, min_count: int = 6,
                                               nc, nl, min_count, widths)
             deep_parts[b] = dp
             deep_sz += len(dp[1])
+            lp = container.block_payload_deep(sym_b, cnt_b, ll_b, lits_b,
+                                              nc, nl, min_count, widths,
+                                              lit_k=lit_k)
+            ld_parts[b] = lp
+            ld_sz += len(lp[1])
     if deep:
-        sizes = np.array([flat_sz, deep_sz], np.int64)
+        # three-way layout vote: a few summed ints over DCN, exactly like
+        # the width stats -- every host picks the same flat/deep/litdict
+        # winner so the assembled bytes equal api.compress byte-for-byte
+        sizes = np.array([flat_sz, deep_sz, ld_sz], np.int64)
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
             sizes = np.asarray(
                 multihost_utils.process_allgather(sizes)).sum(axis=0)
-        use_deep = deep is True or int(sizes[1]) < int(sizes[0])
-    else:
-        use_deep = False
-    if use_deep:
-        return deep_parts, container.FLAG_DEEP
+        fs, ds, ls = int(sizes[0]), int(sizes[1]), int(sizes[2])
+        if deep is True:
+            return ((ld_parts, container.FLAG_DEEP | container.FLAG_LITDICT)
+                    if ls < ds else (deep_parts, container.FLAG_DEEP))
+        best = min((fs, ds, ls))
+        if best == fs:
+            return flat_parts, 0
+        if best == ds:
+            return deep_parts, container.FLAG_DEEP
+        return ld_parts, container.FLAG_DEEP | container.FLAG_LITDICT
     return flat_parts, 0
 
 

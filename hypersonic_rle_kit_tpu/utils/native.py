@@ -70,6 +70,7 @@ def lib():
     L.hsrk_sh_decode.restype = ctypes.c_int
     L.ref_parse_planar.restype = ctypes.c_int
     L.unpack_container_deep_batch.restype = ctypes.c_int
+    L.resolve_litdict_batch.restype = ctypes.c_int
     _lib = L
     return _lib
 
@@ -286,11 +287,30 @@ def ref_parse_planar(buf: bytes, family: int, width: int, flags: int,
     return (sym, count, lit_len, lits, n_cmds, n_lits, block_len), nbp
 
 
+def resolve_litdict(payload: np.ndarray, lit_off, n_lits, lit_k, n_lmiss,
+                    L: int):
+    """Native k-bit literal-dictionary resolution into a fresh [nb, L]
+    byte plane; None if unavailable or inconsistent."""
+    Lb = lib()
+    if Lb is None:
+        return None
+    nb = len(n_lits)
+    i32 = lambda a: np.ascontiguousarray(a, np.int32)
+    lits = np.empty((nb, L), np.uint8)
+    rc = Lb.resolve_litdict_batch(
+        _ptr(payload), _ptr(np.ascontiguousarray(lit_off, np.int64)),
+        _ptr(i32(n_lits)), _ptr(i32(lit_k)), _ptr(i32(n_lmiss)),
+        ctypes.c_int64(nb), ctypes.c_int64(L), _ptr(lits))
+    if rc != 0:
+        return None
+    return lits
+
+
 def unpack_container_deep(payload: np.ndarray, payload_off, n_cmds, n_lits,
                           cnt_bits, lit_bits, cnt_ovf_bits, ll_ovf_bits,
                           n_cnt_ovf, n_ll_ovf, n_miss, dict7,
                           hdr_size: int, capacity: int, B: int,
-                          min_count: int):
+                          min_count: int, lit_k=None, n_lmiss=None):
     """Native deep-layout container unpack (csrc); None if unavailable or
     the native resolver flags an inconsistency (caller falls back to the
     validating Python reader)."""
@@ -309,7 +329,10 @@ def unpack_container_deep(payload: np.ndarray, payload_off, n_cmds, n_lits,
         _ptr(i32(lit_bits)), _ptr(i32(cnt_ovf_bits)), _ptr(i32(ll_ovf_bits)),
         _ptr(i32(n_cnt_ovf)), _ptr(i32(n_ll_ovf)), _ptr(i32(n_miss)),
         _ptr(np.ascontiguousarray(dict7, np.uint8)),
-        ctypes.c_int64(hdr_size), ctypes.c_int64(nb),
+        ctypes.c_int64(hdr_size),
+        _ptr(i32(lit_k)) if lit_k is not None else None,
+        _ptr(i32(n_lmiss)) if n_lmiss is not None else None,
+        ctypes.c_int64(nb),
         ctypes.c_int64(capacity), ctypes.c_int64(B),
         ctypes.c_int32(min_count),
         _ptr(sym), _ptr(count), _ptr(lit_len), _ptr(lits))

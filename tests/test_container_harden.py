@@ -105,6 +105,40 @@ def test_deep_subheader_count_mismatch_rejected():
         api.decompress(hostile, backend="kernel")
 
 
+def test_litdict_layout_and_hostile_litcodes():
+    """The k-bit literal dictionary (FLAG_LITDICT) must be chosen on
+    literal-skewed data, beat the plain deep layout, and reject hostile
+    containers whose literal codes imply a different miss population
+    than the stored n_lmiss."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    import bench
+    data = bench.make_dataset(2).tobytes()
+    blob = api.compress(data, "8 Bit")
+    info, blocks = container.parse(blob)
+    assert info.litdict and info.deep
+    lk = blocks[0]["lit_k"]
+    assert 2 <= lk <= 8
+    for be in ("host", "kernel", "device"):
+        assert api.decompress(blob, backend=be) == data
+
+    # hostile: zero a block's literal-code section so the implied miss
+    # population exceeds the stored n_lmiss
+    bl = blocks[0]
+    offs, sizes = container._deep_sections(bl, bl["n_cmds"], bl["n_lits"])
+    assert sizes[7] > 0 and bl["n_lmiss"] < bl["n_lits"]
+    buf = bytearray(blob)
+    p = bl["payload_off"] + offs[7]
+    for i in range(sizes[7]):
+        buf[p + i] = 0
+    hostile = bytes(buf)
+    container.parse(hostile)          # still structurally valid
+    with pytest.raises(container.ContainerError):
+        container.pack_for_device(hostile)
+    with pytest.raises(container.ContainerError):
+        api.decompress(hostile, backend="host")
+
+
 def test_pack_for_device_uniform_and_fallback():
     """serialize_blocks emits container-uniform bit widths by default, so
     pack_for_device slices sections for the device unpack; per-block-width

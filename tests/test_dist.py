@@ -86,7 +86,10 @@ def test_device_size_model_matches_serializer(mesh):
         min_count=MIN_COUNT, mesh=mesh)
     cols = [np.asarray(v) for v in (pb.sym, pb.count, pb.lit_len, pb.lits,
                                     pb.n_cmds, pb.n_lits)]
-    blob = container.serialize_blocks(0, nb * B, B, MIN_COUNT, *cols)
+    # the in-mesh size model prices the flat per-block layout (an upper
+    # bound on shipping); deep/litdict re-packing may beat it
+    blob = container.serialize_blocks(0, nb * B, B, MIN_COUNT, *cols,
+                                      deep=False)
     _, blocks = container.parse(blob)
     actual = np.array([bl["payload_bytes"] for bl in blocks])
     assert (np.asarray(sizes) == actual).all(), (np.asarray(sizes), actual)
