@@ -631,6 +631,518 @@ struct ShBits {
 };
 }  // namespace
 
+// Greedy Short encoder fast tier (formats/short.py _ShortEmitter +
+// _compress_shortx_greedy transliterated; byte-exact vs the Python
+// golden, which is parity-pinned to rleX_Xsl_short.h:746-1054).
+namespace {
+struct ShortEmitter {
+  int s, sc, min_short, min_long, lut_bits, cbp, rbp;
+  int max_pr, max_pc, invalid, rb;
+  int64_t max_tc, max_tr;
+  bool unbound, single_;
+  uint8_t last_symbols[7][8];
+  std::vector<uint8_t> out;
+  int64_t last_rle = 0;
+
+  ShortEmitter(int width, int sc_, bool byte_aligned, bool single) {
+    s = width / 8;
+    sc = sc_;
+    single_ = single;
+    unbound = byte_aligned || width == 8;
+    if (sc != 0 || single) {
+      min_short = 2;
+      min_long = single ? (3 + 4 + 4) : (3 + 4 + 4 + s);
+    } else {
+      min_short = 1 + s + 1;
+      min_long = 3 + 4 + 4 + s + 1;
+    }
+    lut_bits = sc == 0 ? 0 : sc == 1 ? 1 : sc == 3 ? 2 : 3;
+    cbp = sc == 0 ? 4 : sc == 7 ? 2 : 3;
+    rbp = 8 - lut_bits - cbp;
+    max_pr = (1 << rbp) - 1;
+    max_pc = (1 << cbp) - 2;
+    invalid = (1 << cbp) - 1;
+    rb = sc != 7 ? 24 - lut_bits - cbp - 9 : 24 - lut_bits - rbp - 9;
+    max_tc = (1 << 9) - 1;
+    max_tr = ((int64_t)1 << rb) - 1;
+    static const uint8_t base[7] = {0x00, 0x7F, 0xFF, 0x01, 0x7E, 0x80, 0xFE};
+    for (int j = 0; j < 7; j++)
+      for (int k = 0; k < 8; k++)
+        last_symbols[j][k] = sc == 1 ? 0x00 : base[j];
+    out.assign(8, 0);
+  }
+
+  void push_u16(uint32_t v) {
+    out.push_back((uint8_t)v);
+    out.push_back((uint8_t)(v >> 8));
+  }
+  void push_u32(uint32_t v) {
+    push_u16(v & 0xFFFF);
+    push_u16(v >> 16);
+  }
+
+  bool process_symbol(const uint8_t *mv, int64_t i, int64_t count,
+                      const uint8_t *symbol) {
+    int match = 0;
+    if (sc > 1) {
+      while (match < sc && std::memcmp(last_symbols[match], symbol, s) != 0)
+        match++;
+    } else if (sc == 1) {
+      match = std::memcmp(symbol, last_symbols[0], s) != 0 ? 1 : 0;
+    }
+
+    const int64_t rng = i - last_rle - count + 2;      // RANGE_OFFSET
+    const int64_t stored = unbound ? count - min_short + 2
+                                   : count / s - min_short / s + 2;
+    const int64_t count3 = stored - 2;
+    const int64_t range3 = rng - 2;
+    const bool pack = range3 >= 0 && range3 <= max_pr && count3 >= 0 &&
+                      count3 <= max_pc;
+    const bool is19 = stored <= max_tc && rng <= max_tr;
+
+    int64_t penalty = (sc != 0 && match == sc) ? s : 0;
+    if (!pack) {
+      penalty += 2;
+      if (!is19) {
+        penalty += rng <= 0xFFFFF ? (rng <= max_tr ? 0 : 2) : 4;
+        penalty += stored <= 0xFFFFF ? (stored <= max_tc ? 0 : 2) : 4;
+      }
+    }
+    if (!(count >= min_long || count >= min_short + penalty)) return false;
+
+    if (sc == 1) {
+      if (match) std::memcpy(last_symbols[0], symbol, s);
+    } else if (sc > 1 && match > 0) {
+      uint8_t tmp[8];
+      std::memcpy(tmp, symbol, s);   // symbol may alias last_symbols
+      const int upto = std::min(match, sc - 1);
+      for (int k = upto; k > 0; k--)
+        std::memcpy(last_symbols[k], last_symbols[k - 1], s);
+      std::memcpy(last_symbols[0], tmp, s);
+    }
+
+    if (pack) {
+      uint32_t b0 = (uint32_t)((count3 << rbp) | range3);
+      if (sc != 0) b0 |= (uint32_t)match << (cbp + rbp);
+      out.push_back((uint8_t)b0);
+    } else {
+      const int64_t storedx =
+          (stored >= 0 && stored <= max_tc) ? stored
+                                            : (stored <= 0xFFFF ? 1 : 0);
+      const int64_t rangex = rng <= max_tr ? rng : (rng <= 0xFFFF ? 1 : 0);
+      uint32_t vp1 = (uint32_t)((invalid << rbp)
+                                | (((uint64_t)storedx << (rb - 8)) >> 8));
+      if (sc != 0) vp1 |= (uint32_t)match << (cbp + rbp);
+      const uint8_t vp2 =
+          (uint8_t)((((uint64_t)storedx << (rb - 8)) | ((uint64_t)rangex >> 8))
+                    & 0xFF);
+      out.push_back((uint8_t)vp1);
+      out.push_back(vp2);
+      out.push_back((uint8_t)(rangex & 0xFF));
+      if (stored != storedx) {
+        if (stored <= 0xFFFF)
+          push_u16((uint32_t)stored);
+        else
+          push_u32((uint32_t)stored);
+      }
+      if (rng != rangex) {
+        if (rng <= 0xFFFF)
+          push_u16((uint32_t)rng);
+        else
+          push_u32((uint32_t)rng);
+      }
+    }
+    if (!single_ && (sc == 0 || match == sc))
+      out.insert(out.end(), symbol, symbol + s);
+    out.insert(out.end(), mv + last_rle, mv + (i - count));
+    last_rle = i;
+    return true;
+  }
+
+  void flush(const uint8_t *mv, int64_t i, int64_t count,
+             const uint8_t *symbol) {
+    const uint8_t b1 = sc == 3 ? 0b100 : sc == 7 ? 0b10 : 0b1000;
+    if (process_symbol(mv, i, count, symbol)) {
+      out.push_back((uint8_t)(invalid << rbp));
+      out.push_back(b1);
+      out.push_back(1);
+      push_u16(0);
+      push_u16(0);
+      if (sc == 0 && !single_) out.push_back(0);
+    } else {
+      const int64_t copy_size = i - last_rle;
+      out.push_back((uint8_t)(invalid << rbp));
+      out.push_back(b1);
+      out.push_back(0);
+      push_u16(0);
+      push_u32((uint32_t)(copy_size + 2));
+      if (sc == 0 && !single_)
+        for (int k = 0; k < s; k++) out.push_back(0);
+      out.insert(out.end(), mv + last_rle, mv + last_rle + copy_size);
+    }
+  }
+};
+
+int short_match_len(const uint8_t *a, const uint8_t *b, int s) {
+  if (std::memcmp(a, b, s) == 0) return s;
+  if (s == 2) return a[0] == b[0] ? 1 : 0;
+  int t = 0;
+  while (t < s && a[t] == b[t]) t++;
+  return t;
+}
+}  // namespace
+
+int64_t hsrk_short_greedy_encode(const uint8_t *in, int64_t n, int32_t width,
+                                 int32_t sc, uint8_t *dst, int64_t cap) {
+  if (n == 0 || n > ((int64_t)1 << 30)) return 0;
+  const int s = width / 8;
+  std::vector<uint8_t> pad((size_t)(n + 2 * s + 8), 0);
+  std::memcpy(pad.data(), in, (size_t)n);
+  const uint8_t *mv = pad.data();
+
+  ShortEmitter em(width, sc, /*byte_aligned=*/true, /*single=*/false);
+  uint8_t symbol[8];
+  for (int k = 0; k < s; k++) symbol[k] = (uint8_t)~mv[k];
+  int64_t count = 0, i = 0;
+  const int min_short = em.min_short;
+
+  while (i < n) {
+    if (count) {
+      if (i + s <= n) {
+        if (std::memcmp(mv + i, symbol, s) == 0) {
+          count += s;
+          i += s;
+          continue;
+        }
+        if (s == 2) {
+          if (mv[i] == symbol[0]) {
+            count += 1;
+            i += 1;
+          }
+        } else {
+          int t = 0;
+          while (t < s && mv[i + t] == symbol[t]) t++;
+          count += t;
+          i += t;
+        }
+      }
+    }
+    for (;;) {                 // not_a_full_match_but_a_match
+      if (count >= 2) em.process_symbol(mv, i, count, symbol);
+      std::memcpy(symbol, mv + i, s);
+      const bool fits = i + s <= n;
+      if (fits && std::memcmp(mv + i + s, symbol, s) == 0) {
+        count = 2 * s;
+        i += 2 * s;
+        break;
+      }
+      if (fits) {
+        const uint8_t *nxt = symbol;
+        int possible_count = 0, possible_idx = 0;
+        if (sc == 1) {
+          if (s == 2)
+            possible_count =
+                std::memcmp(em.last_symbols[0], nxt, 2) == 0 ? 2 : 0;
+          else
+            possible_count = short_match_len(em.last_symbols[0], nxt, s);
+        } else {
+          for (int j = 0; j < sc; j++) {
+            if (s == 2) {
+              if (std::memcmp(em.last_symbols[j], nxt, 2) == 0) {
+                possible_count = 2;
+                possible_idx = j;
+                break;
+              }
+            } else {
+              if (std::memcmp(nxt, em.last_symbols[j], s) == 0) {
+                possible_idx = j;
+                possible_count = s;
+                break;
+              }
+              const int psc = short_match_len(nxt, em.last_symbols[j], s);
+              if (psc > possible_count) {
+                possible_idx = j;
+                possible_count = psc;
+              }
+            }
+          }
+        }
+        const bool take =
+            s != 2 ? possible_count >= min_short : possible_count != 0;
+        if (take) {
+          count = possible_count;
+          i += possible_count;
+          std::memcpy(symbol,
+                      em.last_symbols[sc == 1 ? 0 : possible_idx], s);
+          if (s != 2 && count < s) continue;
+          break;
+        }
+        count = 0;
+        i += 1;
+        break;
+      }
+      count = 0;
+      i += 1;
+      break;
+    }
+  }
+
+  em.flush(mv, i, count, symbol);
+  const int64_t total = (int64_t)em.out.size();
+  if (total > cap) return -1;
+  // finalize: u32 n, u32 total at the head
+  em.out[0] = (uint8_t)n; em.out[1] = (uint8_t)(n >> 8);
+  em.out[2] = (uint8_t)(n >> 16); em.out[3] = (uint8_t)(n >> 24);
+  em.out[4] = (uint8_t)total; em.out[5] = (uint8_t)(total >> 8);
+  em.out[6] = (uint8_t)(total >> 16); em.out[7] = (uint8_t)(total >> 24);
+  std::memcpy(dst, em.out.data(), (size_t)total);
+  return total;
+}
+
+// SH encoder fast tier (formats/sh.py transliterated; the Python
+// implementation is the byte-exact golden pinned against the C
+// reference by the oracle parity suite).  Returns total size or -1.
+namespace {
+struct ShBitWriter {
+  std::vector<uint8_t> completed;
+  uint32_t cur = 0;
+  int nextbit = 0;
+  void write(uint32_t bits, int count) {
+    for (int i = 0; i < count; i++) {
+      cur |= (bits & 1u) << nextbit;
+      bits >>= 1;
+      nextbit = (nextbit + 1) & 7;
+      if (nextbit == 0) {
+        completed.push_back((uint8_t)cur);
+        cur = 0;
+      }
+    }
+  }
+};
+struct ShModel {
+  uint8_t last_rle = 0x7F, second = 0x80, third = 0x7E, last_occured = 0x80;
+};
+constexpr int SH_MIN_COPY = 7, SH_MIN_RLE = 14, SH_MIN_CHANGE = 10,
+              SH_MIN_ENC_COPY = 161;
+
+void sh_emit_symbols(const uint8_t *data, int64_t pos, int64_t count,
+                     std::vector<uint8_t> &out, ShBitWriter &hdr, ShModel &m,
+                     bool encoded_ctx) {
+  const uint32_t third_bits = encoded_ctx ? 0b111u : 0b0111u;
+  const int third_len = encoded_ctx ? 3 : 4;
+  for (int64_t k = 0; k < count; k++) {
+    const uint8_t sym = data[pos + k];
+    if (sym == m.last_rle) {
+      hdr.write(0b0, 1);
+    } else if (sym == m.second) {
+      hdr.write(0b011, 3);
+      m.last_occured = sym;
+    } else if (sym == m.third) {
+      hdr.write(third_bits, third_len);
+      m.last_occured = sym;
+    } else {
+      hdr.write(0b01, 2);
+      if (sym == m.last_occured) {
+        m.third = m.second;
+        m.second = sym;
+      }
+      m.last_occured = sym;
+      out.push_back(sym);
+    }
+  }
+}
+
+void sh_push_u32(std::vector<uint8_t> &out, uint32_t v) {
+  out.push_back((uint8_t)v);
+  out.push_back((uint8_t)(v >> 8));
+  out.push_back((uint8_t)(v >> 16));
+  out.push_back((uint8_t)(v >> 24));
+}
+
+void sh_encoded_copy(const uint8_t *data, int64_t pos, int64_t count,
+                     std::vector<uint8_t> &out, ShBitWriter &hdr,
+                     ShModel &m) {
+  int64_t remaining = count;
+  while (remaining) {
+    if (remaining > SH_MIN_ENC_COPY) {
+      hdr.write(0b1111111, 7);
+      const int64_t stored =
+          std::min<int64_t>(0xFF, remaining - SH_MIN_ENC_COPY);
+      const int64_t consumed = stored + SH_MIN_ENC_COPY;
+      out.push_back((uint8_t)stored);
+      sh_emit_symbols(data, pos, consumed, out, hdr, m, true);
+      remaining -= consumed;
+      pos += consumed;
+    } else {
+      sh_emit_symbols(data, pos, remaining, out, hdr, m, false);
+      return;
+    }
+  }
+}
+
+void sh_copy(const uint8_t *data, int64_t pos, int64_t count,
+             std::vector<uint8_t> &out, ShBitWriter &hdr, ShModel &m) {
+  if (count > 255 + SH_MIN_COPY) {
+    hdr.write(0b0111111, 7);
+    sh_push_u32(out, (uint32_t)(count - SH_MIN_COPY));
+    out.insert(out.end(), data + pos, data + pos + count);
+  } else if (count >= SH_MIN_COPY) {
+    hdr.write(0b0011111, 7);
+    out.push_back((uint8_t)(count - SH_MIN_COPY));
+    out.insert(out.end(), data + pos, data + pos + count);
+  } else {
+    sh_emit_symbols(data, pos, count, out, hdr, m, false);
+  }
+}
+}  // namespace
+
+int64_t hsrk_sh_encode(const uint8_t *buf, int64_t n, uint8_t *dst,
+                       int64_t cap) {
+  if (n == 0) return 0;
+  std::vector<uint8_t> out;
+  out.reserve((size_t)n + 64);
+  ShBitWriter hdr;
+  ShModel m;
+
+  uint8_t last_symbol = 0;
+  int64_t copy_count = 0, rle_change_count = 0, rle_count = 0;
+  int64_t rle_symbol_copy_count = 0;
+  bool last_was_same = false, last_was_copy = false;
+  int64_t block_start = 0;
+
+  for (int64_t i = 0; i < n; i++) {
+    const uint8_t symbol = buf[i];
+    if (symbol == m.last_rle) {
+      if (!last_was_same) {
+        if (rle_change_count >= SH_MIN_CHANGE) {
+          sh_copy(buf, block_start, copy_count - rle_change_count, out, hdr,
+                  m);
+          block_start += copy_count;
+          copy_count = 0;
+          m.last_rle = last_symbol;
+          hdr.write(0b1011111, 7);
+          sh_push_u32(out, (uint32_t)(rle_change_count - SH_MIN_RLE));
+          out.push_back(last_symbol);
+          copy_count = 1;
+          rle_symbol_copy_count = 0;
+          rle_count = 0;
+          last_was_same = false;
+          rle_change_count = 1;
+        } else {
+          rle_count = 1;
+          rle_symbol_copy_count += 1;
+          last_was_same = true;
+          rle_change_count = 0;
+        }
+        last_symbol = symbol;
+      } else {
+        rle_count += 1;
+        rle_symbol_copy_count += 1;
+        if (rle_count > SH_MIN_RLE) {
+          const int64_t real_rle_copy = rle_symbol_copy_count - rle_count;
+          if (real_rle_copy * 7 > (copy_count - real_rle_copy) * 2) {
+            sh_encoded_copy(buf, block_start, copy_count, out, hdr, m);
+          } else {
+            sh_copy(buf, block_start, copy_count, out, hdr, m);
+          }
+          block_start += copy_count;
+          copy_count = 0;
+          rle_symbol_copy_count = 0;
+          last_was_same = true;
+          last_was_copy = false;
+          last_symbol = symbol;
+        }
+      }
+    } else {
+      if (last_was_same && last_was_copy) {
+        last_was_same = false;
+        copy_count += rle_count;
+        rle_count = 0;
+      }
+      if (symbol == last_symbol) {
+        rle_change_count += 1;
+      } else {
+        if (rle_change_count >= SH_MIN_CHANGE) {
+          const int64_t cc_wo = copy_count - rle_change_count;
+          if (rle_symbol_copy_count * 7 >
+              (cc_wo - rle_symbol_copy_count) * 2) {
+            sh_encoded_copy(buf, block_start, cc_wo, out, hdr, m);
+          } else {
+            sh_copy(buf, block_start, cc_wo, out, hdr, m);
+          }
+          block_start += copy_count;
+          copy_count = 0;
+          rle_symbol_copy_count = 0;
+          m.last_rle = last_symbol;
+          hdr.write(0b1011111, 7);
+          sh_push_u32(out, (uint32_t)(rle_change_count - SH_MIN_RLE));
+          out.push_back(last_symbol);
+        }
+        rle_change_count = 1;
+        last_symbol = symbol;
+      }
+      if (!last_was_copy) {
+        if (rle_count > 255 + SH_MIN_RLE) {
+          hdr.write(0b1011111, 7);
+          sh_push_u32(out, (uint32_t)(rle_count - SH_MIN_RLE));
+          out.push_back(m.last_rle);
+        } else if (rle_count >= SH_MIN_RLE) {
+          hdr.write(0b01111, 5);
+          out.push_back((uint8_t)(rle_count - SH_MIN_RLE));
+        } else {
+          for (int64_t k = 0; k < rle_count; k++) hdr.write(0b0, 1);
+        }
+        block_start = i;
+        copy_count = 1;
+        rle_count = 0;
+        rle_symbol_copy_count = 0;
+        last_was_same = false;
+        last_was_copy = true;
+      } else {
+        copy_count += 1;
+      }
+    }
+  }
+
+  if (last_was_copy) {
+    if (last_was_same) {
+      copy_count += rle_count;
+      rle_count = 0;
+    }
+    sh_copy(buf, block_start, copy_count, out, hdr, m);
+  } else {
+    if (rle_count > 255 + SH_MIN_RLE) {
+      hdr.write(0b1011111, 7);
+      sh_push_u32(out, (uint32_t)(rle_count - SH_MIN_RLE));
+      out.push_back(m.last_rle);
+    } else if (rle_count >= SH_MIN_RLE) {
+      hdr.write(0b01111, 5);
+      out.push_back((uint8_t)(rle_count - SH_MIN_RLE));
+    } else {
+      for (int64_t k = 0; k < rle_count; k++) hdr.write(0b0, 1);
+    }
+  }
+
+  hdr.write(0b0111111, 7);  // copy-large terminator
+  sh_push_u32(out, 0);
+
+  const int64_t hdr_tail = hdr.nextbit != 0 ? 1 : 0;
+  const int64_t total = 8 + (int64_t)out.size() + hdr_tail +
+                        (int64_t)hdr.completed.size();
+  if (total > cap) return -1;
+  uint8_t *p = dst;
+  // head: u32 uncompressed size, u32 total size (patched below)
+  p[0] = (uint8_t)n; p[1] = (uint8_t)(n >> 8);
+  p[2] = (uint8_t)(n >> 16); p[3] = (uint8_t)(n >> 24);
+  p[4] = (uint8_t)total; p[5] = (uint8_t)(total >> 8);
+  p[6] = (uint8_t)(total >> 16); p[7] = (uint8_t)(total >> 24);
+  std::memcpy(p + 8, out.data(), out.size());
+  uint8_t *h = p + 8 + out.size();
+  if (hdr_tail) *h++ = (uint8_t)hdr.cur;
+  for (size_t k = hdr.completed.size(); k-- > 0;) *h++ = hdr.completed[k];
+  return total;
+}
+
 int hsrk_sh_decode(const uint8_t *buf, int64_t csize, int64_t usize,
                    uint8_t *out, int64_t out_cap) {
   const int MIN_COPY = 7, MIN_RLE = 14, MIN_ENC_COPY = 161;

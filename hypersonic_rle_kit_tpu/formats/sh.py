@@ -136,6 +136,10 @@ def sh_compress(data) -> bytes:
     n = len(buf)
     if n == 0:
         return b""
+    from ..utils import native
+    fast = native.sh_encode(buf)     # byte-exact C++ tier (csrc), ~200x
+    if fast is not None:
+        return fast
     out = bytearray()
     hdr = _BitWriter()
     m = _Model()

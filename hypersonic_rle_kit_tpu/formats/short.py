@@ -377,6 +377,10 @@ def _match_len(a: bytes, b: bytes, s: int) -> int:
 def _compress_shortx_greedy(arr: np.ndarray, width: int, sc: int) -> bytes:
     """Greedy Short (Byte): scalar loop with partial LUT-prefix matching
     (rleX_Xsl_short.h:746-1054)."""
+    from ..utils import native
+    fast = native.short_greedy_encode(arr, width, sc)  # byte-exact C++ tier
+    if fast is not None:
+        return fast
     n = int(arr.size)
     s = width // 8
     pad = np.zeros(n + 2 * s + 8, np.uint8)

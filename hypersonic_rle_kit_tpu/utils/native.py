@@ -68,6 +68,8 @@ def lib():
     L.hsrk_mmtf.restype = ctypes.c_int
     L.hsrk_le_decode.restype = ctypes.c_int
     L.hsrk_sh_decode.restype = ctypes.c_int
+    L.hsrk_sh_encode.restype = ctypes.c_int64
+    L.hsrk_short_greedy_encode.restype = ctypes.c_int64
     L.ref_parse_planar.restype = ctypes.c_int
     L.unpack_container_deep_batch.restype = ctypes.c_int
     L.resolve_litdict_batch.restype = ctypes.c_int
@@ -304,6 +306,45 @@ def resolve_litdict(payload: np.ndarray, lit_off, n_lits, lit_k, n_lmiss,
     if rc != 0:
         return None
     return lits
+
+
+def sh_encode(data: bytes):
+    """Native SH encoder fast tier (byte-exact vs formats/sh.py's golden
+    Python encoder); None if the native runtime is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    n = len(data)
+    if n == 0:
+        return b""
+    cap = 8 + 2 * n + 4096
+    dst = np.empty(cap, np.uint8)
+    src = np.frombuffer(data, np.uint8)
+    total = L.hsrk_sh_encode(_ptr(src), ctypes.c_int64(n), _ptr(dst),
+                             ctypes.c_int64(cap))
+    if total <= 0:
+        return None
+    return dst[:total].tobytes()
+
+
+def short_greedy_encode(arr: np.ndarray, width: int, sc: int):
+    """Native Greedy Short encoder fast tier (byte-exact vs
+    formats/short.py's golden Python encoder); None if unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    n = int(arr.size)
+    if n == 0:
+        return b""
+    cap = 8 + 2 * n + 4096
+    dst = np.empty(cap, np.uint8)
+    total = L.hsrk_short_greedy_encode(
+        _ptr(np.ascontiguousarray(arr, np.uint8)), ctypes.c_int64(n),
+        ctypes.c_int32(width), ctypes.c_int32(sc), _ptr(dst),
+        ctypes.c_int64(cap))
+    if total <= 0:
+        return None
+    return dst[:total].tobytes()
 
 
 def unpack_container_deep(payload: np.ndarray, payload_off, n_cmds, n_lits,
