@@ -249,7 +249,10 @@ def encode_blocks_kernel(x: jnp.ndarray, block_len: jnp.ndarray, *,
     if only_sym is None:
         only_sym = jnp.full(nb, -1, jnp.int32)
 
-    G = _EGROUP if nb >= _EGROUP else 1
+    # small batches take G = nb so the [G, 128] scalar-operand block
+    # equals its array shape (the compiled lowering requires trailing
+    # block dims divisible by (8, 128) or equal to the array's)
+    G = _EGROUP if nb >= _EGROUP else nb
     nbp = -(-nb // G) * G
     blv = block_len.astype(jnp.int32)
     osv = only_sym.astype(jnp.int32)
