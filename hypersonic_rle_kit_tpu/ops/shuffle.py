@@ -150,8 +150,17 @@ def flat_compact(cols, keep: jnp.ndarray, roll=_jroll):
     randomized to n=4000).  This is the TPU dual of the encoder's serial
     command/literal emission cursor (rle8_extreme_cpu.h:768-931).
 
-    Returns ``(compacted_cols, live)`` where ``live[p]`` marks slots
-    holding a kept element (the first ``keep.sum()`` flat slots).
+    Returns ``(compacted_cols, None)`` — callers derive validity from the
+    kept-count (``flat_pos < keep.sum()``); no live mask is materialized.
+
+    Live-free routing (round 5): dropped elements and stale source copies
+    carry ``d = 0``, so they are never taken as movers — the per-level
+    ``live``-plane roll of the r4 router (1 extra flat_roll + 3 elementwise
+    per level, ~25% of the whole compaction) is gone.  Kept elements route
+    exactly as before: ``d`` rides along unchanged and bit ``b`` of it is
+    consumed only at level ``b``; a source slot whose element just left has
+    its own bit set and is zeroed (frozen junk), so duplicates never
+    propagate.
     """
     R = keep.shape[-2]
     n = R * LANES
@@ -159,19 +168,17 @@ def flat_compact(cols, keep: jnp.ndarray, roll=_jroll):
            * LANES
            + jax.lax.broadcasted_iota(jnp.int32, keep.shape, keep.ndim - 1))
     d = exclusive_cumsum_tile((~keep).astype(jnp.int32), roll)
-    live = keep.astype(jnp.int32)       # masks roll as i32 (Mosaic has no
-    cols = list(cols)                   # sub-32-bit rotate)
+    d = jnp.where(keep, d, 0)           # dropped elements never move
+    cols = list(cols)
     for b in range(max(1, (n - 1).bit_length())):
         s = 1 << b
         in_range = pos < n - s
-        sl = (flat_roll(live, -s, roll) == 1) & in_range
         sd = flat_roll(d, -s, roll)
-        take = sl & ((sd >> b) & 1 == 1)
-        stay = (live == 1) & ((d >> b) & 1 == 0)
-        live = (take | stay).astype(jnp.int32)
-        d = jnp.where(take, sd, d)
+        take = in_range & ((sd >> b) & 1 == 1)
+        own = (d >> b) & 1 == 1
+        d = jnp.where(take, sd, jnp.where(own, 0, d))
         cols = [jnp.where(take, flat_roll(c, -s, roll), c) for c in cols]
-    return cols, live == 1
+    return cols, None
 
 
 def row_compact(cols, keep: jnp.ndarray, roll=_jroll):
@@ -188,18 +195,16 @@ def row_compact(cols, keep: jnp.ndarray, roll=_jroll):
     for b in range(7):                   # within-row inclusive scan
         s = s + jnp.where(lane >= (1 << b), roll(s, 1 << b, ax), 0)
     d = s - nk                           # dropped-before within the row
-    live = keep.astype(jnp.int32)
+    d = jnp.where(keep, d, 0)            # live-free router: see flat_compact
     cols = list(cols)
     for b in range(7):
         sh = 1 << b
         back = (LANES - sh) % LANES      # lane roll by -sh (rolls >= 0)
         in_range = lane < LANES - sh
-        sl = (roll(live, back, ax) == 1) & in_range
         sd = roll(d, back, ax)
-        take = sl & ((sd >> b) & 1 == 1)
-        stay = (live == 1) & ((d >> b) & 1 == 0)
-        live = (take | stay).astype(jnp.int32)
-        d = jnp.where(take, sd, d)
+        take = in_range & ((sd >> b) & 1 == 1)
+        own = (d >> b) & 1 == 1
+        d = jnp.where(take, sd, jnp.where(own, 0, d))
         cols = [jnp.where(take, roll(c, back, ax), c) for c in cols]
     return cols, cnt
 

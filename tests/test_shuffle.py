@@ -129,3 +129,50 @@ def test_cummax_spike_rows():
             got = np.asarray(shuffle.inclusive_cummax_tile(jnp.asarray(x)))
             np.testing.assert_array_equal(
                 got.reshape(-1), np.maximum.accumulate(x.reshape(-1)))
+
+
+@pytest.mark.parametrize("rows", [1, 4, 16])
+@pytest.mark.parametrize("density", [0.0, 0.1, 0.5, 0.9, 1.0])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_flat_compact(rows, density, seed):
+    rng = np.random.default_rng(seed * 131 + rows)
+    a = _tile(rng, rows)
+    b = _tile(rng, rows)
+    keep = rng.random((rows, 128)) < density
+    (ga, gb), _ = shuffle.flat_compact(
+        [jnp.asarray(a), jnp.asarray(b)], jnp.asarray(keep))
+    n = int(keep.sum())
+    ka = a.reshape(-1)[keep.reshape(-1)]
+    kb = b.reshape(-1)[keep.reshape(-1)]
+    assert (np.asarray(ga).reshape(-1)[:n] == ka).all()
+    assert (np.asarray(gb).reshape(-1)[:n] == kb).all()
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_flat_compact_batched(seed):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 1 << 20, (3, 8, 128)).astype(np.int32)
+    keep = rng.random((3, 8, 128)) < 0.3
+    (ga,), _ = shuffle.flat_compact([jnp.asarray(a)], jnp.asarray(keep))
+    ga = np.asarray(ga)
+    for g in range(3):
+        n = int(keep[g].sum())
+        want = a[g].reshape(-1)[keep[g].reshape(-1)]
+        assert (ga[g].reshape(-1)[:n] == want).all()
+
+
+@pytest.mark.parametrize("density", [0.0, 0.15, 0.25, 0.6, 1.0])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_row_compact(density, seed):
+    rng = np.random.default_rng(seed * 17 + 3)
+    a = _tile(rng, 8)
+    b = _tile(rng, 8)
+    keep = rng.random((8, 128)) < density
+    (ga, gb), cnt = shuffle.row_compact(
+        [jnp.asarray(a), jnp.asarray(b)], jnp.asarray(keep))
+    ga, gb, cnt = np.asarray(ga), np.asarray(gb), np.asarray(cnt)
+    for r in range(8):
+        n = int(keep[r].sum())
+        assert cnt[r, 0] == n
+        assert (ga[r, :n] == a[r][keep[r]]).all()
+        assert (gb[r, :n] == b[r][keep[r]]).all()
