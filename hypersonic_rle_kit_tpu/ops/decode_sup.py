@@ -72,13 +72,16 @@ host section slice is reinterpreted for free (np view).  XLA-side
 ``bitcast_convert_type`` was measured at 1.7-2.8 ms per direction at
 64 MiB (minor-dim-4 relayouts) and is avoided on every hot path.
 
-The paint loop runs as a fori_loop over 8-column groups: the r4/early-r5
-full unroll of G x NC column bodies compiled for 17-78 s and capped
-MAX_COLUMNS (VERDICT r4 #7); a fully-rolled per-pair loop lost cross-
-column software pipelining (paint 3.3 -> 8.4 ms), so each step unrolls 8
-columns with static rotating-accumulator targets, and empty columns
-(capacity padding, sparse blocks) skip all painting work via one scalar
-guard.
+The paint loop runs as a fori_loop over quad groups (_QUAD same-stripe
+columns stacked along the contracting axis per dot pair — the
+per-column 128^3 dots were MXU *issue*-bound, ~4.4 ms of the 6.9 ms r5-C
+kernel for a ~0.7 ms FLOP roofline; quads cut dot issues 4x for the same
+MACs and took route+paint to ~0.9 ms).  The r4/early-r5 full unroll of
+G x NC column bodies compiled for 17-78 s and capped MAX_COLUMNS
+(VERDICT r4 #7); a fully-rolled per-pair loop lost cross-column software
+pipelining, so each step unrolls _UNROLL/_QUAD quads with static
+rotating-accumulator targets, and empty columns (capacity padding,
+sparse blocks) skip all painting work via the per-block trip count.
 
 Exactness: every per-cell partial sum of event values lies in
 [-256, 256] (runs are disjoint), so bf16 matmul inputs are exact and f32
@@ -112,6 +115,13 @@ MAX_COLUMNS = 512           # event-column budget (VMEM for the event
                             # scratch); callers route denser blocks to XLA
 _GROUP = int(_os.environ.get("HSRK_DECODE_G", "4"))   # blocks per grid cell
 _UNROLL = int(_os.environ.get("HSRK_DECODE_UNROLL", "16"))  # columns/step
+# columns contracted per matmul pair (round 5): the per-column 128^3 paint
+# matmuls were issue-bound (fill/drain per dot dominated; ~134 dots per
+# dense 256 KiB block), so Q same-stripe columns stack along the
+# contracting axis into one [WQ, Q*128] x [128, Q*128] dot pair, 4x fewer
+# issues for the same MACs.  Each stripe's column allocation is padded to
+# a Q multiple so every quad is stripe-pure (shares one window start).
+_QUAD = int(_os.environ.get("HSRK_DECODE_Q", "4"))
 MIN_RUN = 4                 # the boundary-descriptor min-run contract
 
 
@@ -131,7 +141,7 @@ def fits_kernel(block_size: int, capacity: int) -> bool:
     if block_size % (8 * ROW) or block_size > MAX_BLOCK:
         return False
     ns = -(-block_size // STRIPE_BYTES)
-    nc = ns + -(-2 * capacity // ROW)
+    nc = ns * _QUAD + -(-2 * capacity // ROW)
     return nc <= MAX_COLUMNS
 
 
@@ -233,13 +243,16 @@ def _decode_body(code_ref, meta_ref, ucols_ref, ev_ref, dp_ref, litw_ref,
     cell = pl.program_id(0)
     B = R4 * 4 * ROW
 
+    Q = _QUAD
+    QK = Q * ROW
     # hoisted constants (shared by every block of the group)
-    subl128 = jax.lax.broadcasted_iota(jnp.int32, (ROW, 1), 0)
-    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (ROW, WQ), 1)
+    lane_qk = jax.lax.broadcasted_iota(jnp.int32, (1, QK), 1)
+    rows_iota_q = jax.lax.broadcasted_iota(jnp.int32, (WQ, QK), 0)
+    sub_qk = jax.lax.broadcasted_iota(jnp.int32, (ROW, QK), 0)
+    dnq = (((1,), (1,)), ((), ()))      # contract on lanes of both operands
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (ROW, ROW), 1)
     li = jax.lax.broadcasted_iota(jnp.int32, (ROW, ROW), 0)
     tri = (lane128 >= li).astype(jnp.bfloat16)          # in-row prefix
-    dn = (((0,), (0,)), ((), ()))
     mdn = (((1,), (0,)), ((), ()))
     flatw = (jax.lax.broadcasted_iota(jnp.int32, (R4, ROW), 0) * ROW
              + jax.lax.broadcasted_iota(jnp.int32, (R4, ROW), 1))
@@ -254,21 +267,28 @@ def _decode_body(code_ref, meta_ref, ucols_ref, ev_ref, dp_ref, litw_ref,
         return
 
     # route all G blocks' events in one batched pull (amortizes the
-    # latency-bound small-plane ops across the group)
-    evs_ref[...] = shuffle.staircase_pull(ev_ref[...], dp_ref[...], roll)
+    # latency-bound small-plane ops across the group); the quad-lane
+    # reshape ([NC, 128] -> [NC/Q, Q*128]) lets each paint step consume
+    # its Q columns as one contiguous lane row with no per-quad relayout
+    evs_ref[...] = shuffle.staircase_pull(
+        ev_ref[...], dp_ref[...], roll).reshape(G, NC // Q, QK)
 
     # ---- per-block paint: two word-level channels (module docstring) ----
     for g in range(G):
         b = cell * G + g
 
-        def _paint_col(accT, accD, c, g=g, b=b):
-            cp = code_ref[b, c]
-            r0 = pl.multiple_of(cp & 0xFFFF, 8)  # stripe start word-row
-            lcnt = cp >> 16                      # live slots in the column
+        def _paint_quad(accT, accD, qi, g=g, b=b):
+            c0 = qi * Q
+            cp0 = code_ref[b, c0]
+            r0 = pl.multiple_of(cp0 & 0xFFFF, 8)  # stripe start word-row
+            lcv = jnp.full((1, QK), cp0 >> 16, jnp.int32)
+            for j in range(1, Q):               # live slots per column
+                lcv = jnp.where(lane_qk >= j * ROW,
+                                code_ref[b, c0 + j] >> 16, lcv)
 
-            e = jnp.swapaxes(evs_ref[g, pl.ds(c, 1), :], 0, 1)
+            e = evs_ref[g, pl.ds(qi, 1), :]     # [1, Q*128]
             pos_c = jax.lax.shift_right_logical(e, _POS_SHIFT)
-            live = (pos_c < B) & (subl128 < lcnt)
+            live = (pos_c < B) & ((lane_qk & (ROW - 1)) < lcv)
             vraw = jnp.where(live, (e & _VAL_MASK) - _VAL_OFF, 0)
             slot_c = pos_c & 3
             rowq_c = pos_c >> 9
@@ -276,15 +296,16 @@ def _decode_body(code_ref, meta_ref, ucols_ref, ev_ref, dp_ref, litw_ref,
             desc = jnp.where(vraw > 0, slot_c + 1,
                              jnp.where(vraw < 0, (slot_c + 1) * 8, 0))
 
-            oh = (lane128 == lane_c).astype(jnp.bfloat16)  # [128, 128]
-            bvT = oh * vraw.astype(jnp.bfloat16)
-            bvD = oh * desc.astype(jnp.bfloat16)
-            rowm = (rowq_c - r0 == rows_iota).astype(jnp.bfloat16)
+            # values ride the window operand; the lane one-hot is shared
+            rowm = (rowq_c - r0 == rows_iota_q).astype(jnp.bfloat16)
+            rvT = rowm * vraw.astype(jnp.bfloat16)      # [WQ, Q*128]
+            rvD = rowm * desc.astype(jnp.bfloat16)
+            oh = (sub_qk == lane_c).astype(jnp.bfloat16)  # [128, Q*128]
             mmT = jax.lax.dot_general(
-                rowm, bvT, dimension_numbers=dn,
+                rvT, oh, dimension_numbers=dnq,
                 preferred_element_type=jnp.float32).astype(jnp.bfloat16)
             mmD = jax.lax.dot_general(
-                rowm, bvD, dimension_numbers=dn,
+                rvD, oh, dimension_numbers=dnq,
                 preferred_element_type=jnp.float32).astype(jnp.bfloat16)
             if R4p <= WQ:
                 accT[g] += mmT
@@ -295,12 +316,14 @@ def _decode_body(code_ref, meta_ref, ucols_ref, ev_ref, dp_ref, litw_ref,
 
         def group_body(i, _):
             # rotating accumulators with static ref targets decouple
-            # consecutive columns' read-modify-writes
-            for half in range(_UNROLL):
+            # consecutive quads' read-modify-writes
+            for half in range(_UNROLL // Q):
                 if half % 2 == 0:
-                    _paint_col(accT_ref, accD_ref, _UNROLL * i + half)
+                    _paint_quad(accT_ref, accD_ref,
+                                (_UNROLL // Q) * i + half)
                 else:
-                    _paint_col(accT2_ref, accD2_ref, _UNROLL * i + half)
+                    _paint_quad(accT2_ref, accD2_ref,
+                                (_UNROLL // Q) * i + half)
             return 0
 
         # trip count bounded by this block's used columns: trailing empty
@@ -439,6 +462,7 @@ def _decode_jit(sym, count, lit_len, lits, n_cmds, n_lits, block_len, *,
     B = block_size
     R4 = B // 512
     R4p = max(-(-R4 // 8) * 8, WQ)
+    assert _UNROLL % _QUAD == 0, (_UNROLL, _QUAD)
 
     count = count.astype(jnp.int32)
     lit_len = lit_len.astype(jnp.int32)
@@ -466,9 +490,11 @@ def _decode_jit(sym, count, lit_len, lits, n_cmds, n_lits, block_len, *,
 
     # --- stripe bucketing (module docstring): assign every live event to
     # a column of 128 slots inside its stripe; dense stripes get multiple
-    # columns, and the budget ns + ceil(E/128) always suffices
+    # columns, and the budget ns*Q + ceil(E/128) always suffices (each
+    # stripe's allocation is padded to a _QUAD multiple so paint quads are
+    # stripe-pure; see _QUAD)
     ns = -(-B // STRIPE_BYTES)
-    NC = ns + -(-E // ROW)
+    NC = ns * _QUAD + -(-E // ROW)
     NC = -(-NC // _UNROLL) * _UNROLL   # kernel paints _UNROLL-column groups
     live = (pos < B) & (val != 0)
     s_i = jnp.where(live, pos >> STRIPE_BYTES.bit_length() - 1,
@@ -478,7 +504,8 @@ def _decode_jit(sym, count, lit_len, lits, n_cmds, n_lits, block_len, *,
     cnt = jnp.sum((s_i[:, None, :] == sb[None, :, None]).astype(jnp.int32),
                   axis=2)                                    # [nb, ns]
     lo = jnp.cumsum(cnt, axis=1) - cnt
-    ncols = -(-cnt // ROW)                                   # cols/stripe
+    need = -(-cnt // ROW)                                    # cols/stripe
+    ncols = -(-need // _QUAD) * _QUAD                        # quad-padded
     colstart = jnp.cumsum(ncols, axis=1) - ncols             # [nb, ns]
     cidx = jnp.arange(NC, dtype=jnp.int32)
     used = jnp.sum(ncols, axis=1, keepdims=True)             # [nb, 1]
@@ -561,7 +588,7 @@ def _decode_jit(sym, count, lit_len, lits, n_cmds, n_lits, block_len, *,
         ],
         out_specs=pl.BlockSpec((G, R4, ROW), lambda c, *_: (c, 0, 0)),
         scratch_shapes=[pltpu.VMEM((G, R4p, ROW), jnp.bfloat16)] * 4
-        + [pltpu.VMEM((G, NC, ROW), jnp.int32)],
+        + [pltpu.VMEM((G, NC // _QUAD, _QUAD * ROW), jnp.int32)],
     )
     out = pl.pallas_call(
         kernel,

@@ -122,52 +122,53 @@ _RESOLVE_GB = 8      # blocks resolved per grid cell (amortizes launches)
 
 
 
-def _resolve_body(meta_ref, dict_ref, cnt_ref, cov_ref, ll_ref, lov_ref,
-                  lut_ref, miss_ref, count_ref, litlen_ref, sym_ref,
+def _resolve_body(cnt_ref, cov_ref, ll_ref, lov_ref, lut_ref, miss_ref,
+                  ncv_ref, dict_ref, count_ref, litlen_ref, sym_ref,
                   *, capR: int, cesc: int, lesc: int, min_count: int,
                   interpret: bool):
-    """Batched deep-layout column resolver: per block, distribute the
-    escape overflow lists and the symbol-miss stream to their command
-    positions with VMEM-resident staircase pulls (the XLA formulation of
-    the same pulls materializes every roll through HBM), and resolve the
-    3-bit dictionary references with seven scalar selects."""
+    """Batched deep-layout column resolver: distribute the escape overflow
+    lists and the symbol-miss stream to their command positions with
+    VMEM-resident staircase pulls (the XLA formulation of the same pulls
+    materializes every roll through HBM), and resolve the 3-bit dictionary
+    references with seven selects.  Every scan/pull runs on the whole
+    [GB, capR, 128] group at once (round 5: the r4 per-block loop issued
+    GB copies of each small-plane op and was latency-bound); per-block
+    scalars ride in as lane-replicated vector operands, the same trick as
+    the encode kernel's block_len rows."""
     from . import shuffle
     roll = shuffle._jroll if interpret else decode_sup._proll
-    c = pl.program_id(0)
-    flat = (jax.lax.broadcasted_iota(jnp.int32, (capR, ROW), 0) * ROW
-            + jax.lax.broadcasted_iota(jnp.int32, (capR, ROW), 1))
+    GB = _RESOLVE_GB
+    flat = (jax.lax.broadcasted_iota(jnp.int32, (GB, capR, ROW), 1) * ROW
+            + jax.lax.broadcasted_iota(jnp.int32, (GB, capR, ROW), 2))
+    nc = ncv_ref[...][:, None, :]                       # [GB, 1, 128]
+    is_run = flat < nc - 1
+    is_cmd = flat < nc
 
-    for g in range(_RESOLVE_GB):
-        b = c * _RESOLVE_GB + g
-        nc = meta_ref[b]
-        is_run = flat < nc - 1
-        is_cmd = flat < nc
+    def distribute(base, ovf, esc_mask):
+        em = esc_mask.astype(jnp.int32)
+        rank = shuffle.inclusive_cumsum_tile(em, roll) - em
+        pulled = shuffle.staircase_pull(ovf, flat - rank, roll)
+        return jnp.where(esc_mask, pulled, base)
 
-        def distribute(base, ovf, esc_mask):
-            em = esc_mask.astype(jnp.int32)
-            rank = shuffle.inclusive_cumsum_tile(em, roll) - em
-            pulled = shuffle.staircase_pull(ovf, flat - rank, roll)
-            return jnp.where(esc_mask, pulled, base)
+    cnt = cnt_ref[...]
+    if cesc >= 0:
+        cnt = distribute(cnt, cov_ref[...], is_run & (cnt == cesc))
+    count_ref[...] = jnp.where(is_run, cnt + min_count, 0)
 
-        cnt = cnt_ref[g]
-        if cesc >= 0:
-            cnt = distribute(cnt, cov_ref[g], is_run & (cnt == cesc))
-        count_ref[g] = jnp.where(is_run, cnt + min_count, 0)
+    ll = ll_ref[...]
+    if lesc >= 0:
+        ll = distribute(ll, lov_ref[...], is_cmd & (ll == lesc))
+    litlen_ref[...] = jnp.where(is_cmd, ll, 0)
 
-        ll = ll_ref[g]
-        if lesc >= 0:
-            ll = distribute(ll, lov_ref[g], is_cmd & (ll == lesc))
-        litlen_ref[g] = jnp.where(is_cmd, ll, 0)
-
-        lut = lut_ref[g]
-        sym = jnp.zeros((capR, ROW), jnp.int32)
-        for k in range(7):
-            sym = jnp.where(lut == k + 1, dict_ref[b, k], sym)
-        missm = is_run & (lut == 0)
-        mm = missm.astype(jnp.int32)
-        rank = shuffle.inclusive_cumsum_tile(mm, roll) - mm
-        pulled = shuffle.staircase_pull(miss_ref[g], flat - rank, roll)
-        sym_ref[g] = jnp.where(missm, pulled, sym)
+    lut = lut_ref[...]
+    sym = jnp.zeros((GB, capR, ROW), jnp.int32)
+    for k in range(7):
+        sym = jnp.where(lut == k + 1, dict_ref[:, k:k + 1, :], sym)
+    missm = is_run & (lut == 0)
+    mm = missm.astype(jnp.int32)
+    rank = shuffle.inclusive_cumsum_tile(mm, roll) - mm
+    pulled = shuffle.staircase_pull(miss_ref[...], flat - rank, roll)
+    sym_ref[...] = jnp.where(missm, pulled, sym)
 
 
 def _resolve_deep(cnt_vals, cnt_ovf, ll_vals, ll_ovf, lut, miss, dict7,
@@ -185,25 +186,31 @@ def _resolve_deep(cnt_vals, cnt_ovf, ll_vals, ll_ovf, lut, miss, dict7,
     planes = [pad(a).reshape(nbp, capR, ROW) for a in
               (cnt_vals, cnt_ovf, ll_vals, ll_ovf, lut, miss)]
     meta = jnp.pad(n_cmds, (0, nbp - nb)) if nbp != nb else n_cmds
-    d7 = jnp.pad(dict7, ((0, nbp - nb), (0, 0))) if nbp != nb else dict7
+    d7 = jnp.pad(dict7.astype(jnp.int32),
+                 ((0, nbp - nb), (0, 1)))               # [nbp, 8]
+    # per-block scalars as lane-replicated vector rows (see _resolve_body)
+    ncv = jnp.tile(meta.astype(jnp.int32).reshape(nbp, 1), (1, ROW))
+    dictv = jnp.tile(d7[:, :, None], (1, 1, ROW))       # [nbp, 8, 128]
     kernel = functools.partial(
         _resolve_body, capR=capR,
         cesc=(1 << cnt_bits) - 1 if cnt_bits else -1,
         lesc=(1 << lit_bits) - 1 if lit_bits else -1,
         min_count=min_count, interpret=interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=0,
         grid=(nbp // GB,),
-        in_specs=[pl.BlockSpec((GB, capR, ROW), lambda c, *_: (c, 0, 0))] * 6,
+        in_specs=[pl.BlockSpec((GB, capR, ROW), lambda c: (c, 0, 0))] * 6
+        + [pl.BlockSpec((GB, ROW), lambda c: (c, 0)),
+           pl.BlockSpec((GB, 8, ROW), lambda c: (c, 0, 0))],
         out_specs=[pl.BlockSpec((GB, capR, ROW),
-                                lambda c, *_: (c, 0, 0))] * 3,
+                                lambda c: (c, 0, 0))] * 3,
     )
     count, lit_len, sym = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nbp, capR, ROW), jnp.int32)] * 3,
         interpret=interpret,
-    )(meta.astype(jnp.int32), d7.astype(jnp.int32), *planes)
+    )(*planes, ncv, dictv)
     return (count.reshape(nbp, cap)[:nb], lit_len.reshape(nbp, cap)[:nb],
             sym.reshape(nbp, cap)[:nb])
 
