@@ -518,9 +518,16 @@ def _decode_jit(sym, count, lit_len, lits, n_cmds, n_lits, block_len, *,
                                & (ncols[:, :, None] > 0),
                                sb[None, :, None], 0), axis=1)  # [nb, NC]
     s_of_c = jnp.clip(s_of_c, 0, ns - 1)
-    lo_c = jnp.take_along_axis(lo, s_of_c, axis=1)
-    st_c = jnp.take_along_axis(colstart, s_of_c, axis=1)
-    cnt_c = jnp.take_along_axis(cnt, s_of_c, axis=1)
+    # per-column stripe metadata via ns static selects (take_along_axis
+    # gathers lower to per-element loops on TPU; ns <= 8)
+    lo_c = jnp.zeros_like(s_of_c)
+    st_c = jnp.zeros_like(s_of_c)
+    cnt_c = jnp.zeros_like(s_of_c)
+    for s in range(ns):
+        hit = s_of_c == s
+        lo_c = jnp.where(hit, lo[:, s:s + 1], lo_c)
+        st_c = jnp.where(hit, colstart[:, s:s + 1], st_c)
+        cnt_c = jnp.where(hit, cnt[:, s:s + 1], cnt_c)
     base = lo_c + (cidx[None, :] - st_c) * ROW               # [nb, NC]
     lcnt = jnp.clip(cnt_c - (cidx[None, :] - st_c) * ROW, 0, ROW)
     lcnt = jnp.where(in_use, lcnt, 0)
