@@ -439,12 +439,13 @@ def device_bench(data: np.ndarray, block: int, iters: int, results: dict):
             dw = unpack_device.ship_packed(pkw)
 
             def dec_w():
-                yd = unpack_device.dispatch_packed(pkw, dw)
-                return jax.jit(
-                    lambda a: a.reshape(nbw, 8, Bw // 8)
-                    .swapaxes(1, 2).reshape(nbw, Bw))(yd)
+                # words out + word-domain re-interleave: no byte bitcast,
+                # no per-call retrace (the r4 row rebuilt a jit per call)
+                yd = unpack_device.dispatch_packed(pkw, dw, out_words=True)
+                return decode_sup.interleave_words(yd, w=8)
             yw = dec_w()
-            okw = np.array(yw).reshape(-1)[: n].tobytes() == data[: n].tobytes()
+            okw = (decode_sup.words_to_bytes(np.asarray(yw))
+                   .reshape(-1)[: n].tobytes() == data[: n].tobytes())
             t2 = _timed_chain(dec_w, lambda r: np.asarray(r[0, :1]),
                               max(3, iters // 2), 4, fetch)
             results["decode_w64_gbps"] = n / t2 / 1e9 if okw else 0.0

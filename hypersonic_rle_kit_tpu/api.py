@@ -14,6 +14,8 @@ streams are u64 and sharded by blocks).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -112,6 +114,14 @@ def _interleave_block(row: np.ndarray, n: int, w: int) -> np.ndarray:
     """Inverse of :func:`_deinterleave_block`, trimmed to ``n`` bytes."""
     bt = -(-n // w) * w
     return row[:bt].reshape(w, bt // w).T.reshape(-1)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "w", "B"))
+def _interleave_plane(a, *, nb: int, w: int, B: int):
+    """On-device byte-plane re-interleave for the 16/24/48-bit widths
+    (w % 4 != 0; the word-domain form needs whole words per lane).
+    Cached by geometry -- the r4 path rebuilt a fresh jit per call."""
+    return a.reshape(nb, w, B // w).swapaxes(1, 2).reshape(nb, B)
 
 
 def _deinterleave(x: np.ndarray, lens: np.ndarray, w: int):
@@ -287,7 +297,7 @@ def decompress(buf, *, backend: str = "auto") -> bytes:
                     # of the int32 output is free on the host
                     yd, bad = unpack_device.dispatch_packed(
                         pk, arrs, interpret=interp, with_flags=True,
-                        out_words=(w == 1))
+                        out_words=(w == 1 or w % 4 == 0))
                 except Exception as exc:
                     # only genuine capacity limits may demote to XLA
                     # (extreme command densities can push the kernel past
@@ -308,23 +318,34 @@ def decompress(buf, *, backend: str = "auto") -> bytes:
             else:
                 yd = None
             if yd is not None:
+                from .ops import decode_sup as _ds
                 if w > 1:
-                    # width re-interleave on-device: one transpose per
-                    # block (rle24_extreme_cpu_decode.h:30-55's staggered
-                    # broadcasts, done once in HBM); only partial tail
-                    # blocks fall back to the host fix-up below
-                    nb_, B_ = yd.shape
-                    yi = jax.jit(
-                        lambda a: a.reshape(nb_, w, B_ // w)
-                        .swapaxes(1, 2).reshape(nb_, B_))(yd)
-                    y = np.array(yi)        # writable host copy
+                    # width re-interleave on-device, once per stream in
+                    # HBM (rle24_extreme_cpu_decode.h:30-55's staggered
+                    # broadcasts): word-domain shift/mask composition for
+                    # w % 4 == 0 (no byte relayout), byte transpose for
+                    # 16/24/48-bit; only partial tail blocks fall back to
+                    # the host fix-up below
+                    if w % 4 == 0:          # yd is [nb, B/4] words
+                        nb_, B_ = yd.shape[0], yd.shape[1] * 4
+                        yi = _ds.interleave_words(yd, w=w)
+                        y = _ds.words_to_bytes(np.asarray(yi))
+                        lane_bytes = None   # lazy: tail blocks only
+                    else:
+                        nb_, B_ = yd.shape
+                        yi = _interleave_plane(yd, nb=nb_, w=w, B=B_)
+                        y = np.array(yi)    # writable host copy
+                        lane_bytes = None
                     for b in np.flatnonzero(orig_len != B_):
+                        if lane_bytes is None:
+                            lane_bytes = (_ds.words_to_bytes(np.asarray(yd))
+                                          if w % 4 == 0 else np.asarray(yd))
+                            if not y.flags.writeable:
+                                y = y.copy()
                         n = int(orig_len[b])
-                        y[b, :n] = _interleave_block(
-                            np.asarray(yd[b]), n, w)
+                        y[b, :n] = _interleave_block(lane_bytes[b], n, w)
                     interleaved = True
                 else:
-                    from .ops import decode_sup as _ds
                     y = _ds.words_to_bytes(np.asarray(yd))
         backend = "done" if y is not None else "device"  # XLA fallback
 
