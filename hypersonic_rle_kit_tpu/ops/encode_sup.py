@@ -219,8 +219,10 @@ def _encode_body(blen_ref, only_ref, x_ref, sym_ref, count_ref, litlen_ref,
         meta_ref[...] = jnp.where(at8 == 0, n_runs + 1, n_lits)
         return
 
-    # literal compaction
-    (lit_c,), _ = shuffle.flat_compact([x], lit_keep, roll)
+    # literal compaction; the displacement (dropped = covered bytes
+    # before, pad rows excluded by the keep mask) is the coverage prefix
+    # CCx already in hand, so the router's internal cumsum is skipped
+    (lit_c,), _ = shuffle.flat_compact([x], lit_keep, roll, d=CCx)
     lits_ref[...] = jnp.where(flat < n_lits, lit_c, 0).astype(jnp.uint8)
 
     meta_ref[...] = jnp.where(at8 == 0, n_runs + 1,

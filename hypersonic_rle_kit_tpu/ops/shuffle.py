@@ -138,7 +138,7 @@ def suffix_min_tile(x: jnp.ndarray, roll=_jroll) -> jnp.ndarray:
     return s
 
 
-def flat_compact(cols, keep: jnp.ndarray, roll=_jroll):
+def flat_compact(cols, keep: jnp.ndarray, roll=_jroll, d=None):
     """Order-preserving left-compaction over the flattened trailing
     (rows, 128) tile: elements of each column in ``cols`` where ``keep`` is
     True end up packed at the start (flat order), followed by junk.
@@ -161,13 +161,18 @@ def flat_compact(cols, keep: jnp.ndarray, roll=_jroll):
     consumed only at level ``b``; a source slot whose element just left has
     its own bit set and is zeroed (frozen junk), so duplicates never
     propagate.
+
+    ``d`` may carry a precomputed dropped-before-count plane (callers
+    often already hold it — e.g. the encode kernel's coverage prefix is
+    exactly the literal displacement), skipping the internal cumsum.
     """
     R = keep.shape[-2]
     n = R * LANES
     pos = (jax.lax.broadcasted_iota(jnp.int32, keep.shape, keep.ndim - 2)
            * LANES
            + jax.lax.broadcasted_iota(jnp.int32, keep.shape, keep.ndim - 1))
-    d = exclusive_cumsum_tile((~keep).astype(jnp.int32), roll)
+    if d is None:
+        d = exclusive_cumsum_tile((~keep).astype(jnp.int32), roll)
     d = jnp.where(keep, d, 0)           # dropped elements never move
     cols = list(cols)
     for b in range(max(1, (n - 1).bit_length())):
