@@ -170,13 +170,21 @@ def _encode_body(blen_ref, only_ref, x_ref, sym_ref, count_ref, litlen_ref,
     # then the global LSB router on the quarter-size plane
     packed = (CCx << 8) | x
     if R % 4 == 0 and min_count >= 4 and R // 4 >= 1:
-        (pk_r, st_r), cnt = shuffle.row_compact([packed, flat], emit, roll)
+        # the row router needs no position column: the ridden displacement
+        # d gives each slot's source lane (shuffle.row_compact want_d)
+        (pk_r,), cnt, d_r = shuffle.row_compact([packed], emit, roll,
+                                                want_d=True)
         pk_p = shuffle.pack_rows4(pk_r, roll)
-        st_p = shuffle.pack_rows4(st_r, roll)
+        d_p = shuffle.pack_rows4(d_r, roll)
         cnt_b = jnp.broadcast_to(cnt, (G, R, ROW))   # lane<cnt after pack
         cnt_p = shuffle.pack_rows4(cnt_b, roll)
         lane_p = jax.lax.broadcasted_iota(jnp.int32, (G, R // 4, ROW), 2)
         keep_p = (lane_p & 31) < cnt_p
+        # source flat position rebuilt in the packed domain: quarter slot
+        # (r2, l) came from row 4*r2 + l//32, lane (l & 31) + d
+        row_p = (jax.lax.broadcasted_iota(jnp.int32, (G, R // 4, ROW), 1) * 4
+                 + (lane_p >> 5))
+        st_p = row_p * ROW + (lane_p & 31) + d_p
         (pk_c, st_c), _ = shuffle.flat_compact([pk_p, st_p], keep_p, roll)
         pad = cap_rows - R // 4
         if pad > 0:

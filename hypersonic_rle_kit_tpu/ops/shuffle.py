@@ -186,12 +186,18 @@ def flat_compact(cols, keep: jnp.ndarray, roll=_jroll, d=None):
     return cols, None
 
 
-def row_compact(cols, keep: jnp.ndarray, roll=_jroll):
+def row_compact(cols, keep: jnp.ndarray, roll=_jroll, want_d: bool = False):
     """Order-preserving left-compaction *within each 128-lane row* of a
     [R, 128] tile: the flat_compact LSB router restricted to lane rolls
     (7 levels of whole-plane ops, no cross-row movement).  Returns
     ``(compacted_cols, cnt)`` where ``cnt[r, 0]`` counts kept elements of
-    row r (packed into its first ``cnt`` lanes)."""
+    row r (packed into its first ``cnt`` lanes).
+
+    With ``want_d`` the routed displacement plane is returned as a third
+    value: slot ``(r, j)`` holding a kept element rode in with its
+    within-row displacement, so its *source lane* is ``j + d[r, j]`` —
+    callers can recover original positions without routing a position
+    column through the network (one fewer lane roll per level)."""
     ax = keep.ndim - 1
     lane = jax.lax.broadcasted_iota(jnp.int32, keep.shape, ax)
     cnt = jnp.sum(keep.astype(jnp.int32), axis=-1, keepdims=True)
@@ -211,6 +217,8 @@ def row_compact(cols, keep: jnp.ndarray, roll=_jroll):
         own = (d >> b) & 1 == 1
         d = jnp.where(take, sd, jnp.where(own, 0, d))
         cols = [jnp.where(take, roll(c, back, ax), c) for c in cols]
+    if want_d:
+        return cols, cnt, d
     return cols, cnt
 
 
