@@ -47,7 +47,9 @@ from jax.experimental.pallas import tpu as pltpu
 from . import shuffle
 
 ROW = 128
-_EGROUP = int(_os.environ.get("HSRK_ENCODE_G", "8"))   # blocks per grid cell
+_EGROUP = int(_os.environ.get("HSRK_ENCODE_G", "16"))  # blocks per grid cell
+# (G sweep at the bench geometry: 8 -> 12.81 ms, 16 -> 12.49, 32 -> 12.81;
+# G must keep the [G, 128] scalar-operand rows 8-sublane aligned)
 
 
 def _jroll(x, s, axis):
