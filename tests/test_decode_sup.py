@@ -255,3 +255,18 @@ def test_capacity_cliff_over_budget_routes_to_xla():
     n_cmds2 = int(blocks2[4].max())
     assert decode_sup.fits_kernel(BB, -(-n_cmds2 // 128) * 128)
     assert api.decompress(blob2, backend="kernel") == raw2
+
+
+@pytest.mark.parametrize("w", [4, 8, 16])
+@pytest.mark.parametrize("seed", [0, 3])
+def test_interleave_words(w, seed):
+    """Word-domain width re-interleave == the numpy byte transpose."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+    nb, B = 2, 4 * w * 32
+    orig = rng.integers(0, 256, (nb, B)).astype(np.uint8)
+    plane = orig.reshape(nb, B // w, w).transpose(0, 2, 1).reshape(nb, B)
+    yw = np.ascontiguousarray(plane).view(np.int32)
+    out = np.asarray(decode_sup.interleave_words(jnp.asarray(yw), w=w))
+    got = np.ascontiguousarray(out).view(np.uint8).reshape(nb, B)
+    assert (got == orig).all()
